@@ -1,0 +1,34 @@
+"""Pytest configuration.
+
+JAX tests run on a virtual 8-device CPU mesh so multi-chip sharding is
+exercised without TPU hardware (the driver separately dry-runs the
+multichip path; bench.py uses the real chip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run slow tests (full program suites)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: slow end-to-end tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow; use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -15,6 +15,53 @@ from .. import params
 from .field import Fq, Fq2, Fq12, Fr
 
 
+def _jac_double(X, Y, Z):
+    """Jacobian doubling (a=0 curves); infinity iff Z == 0."""
+    if Y.is_zero() or Z.is_zero():
+        zero = X - X
+        return X, Y, zero
+    A = X * X
+    B = Y * Y
+    C = B * B
+    t = X + B
+    D = t * t - A - C
+    D = D + D
+    E = A + A + A
+    F = E * E
+    X3 = F - D - D
+    c8 = C + C
+    c8 = c8 + c8
+    c8 = c8 + c8
+    Y3 = E * (D - X3) - c8
+    Z3 = (Y * Z) + (Y * Z)
+    return X3, Y3, Z3
+
+
+def _jac_add_affine(X, Y, Z, x2, y2):
+    """Mixed Jacobian + affine addition; the affine point must not be
+    infinity."""
+    if Z.is_zero():
+        one = y2 / y2
+        return x2, y2, one
+    Z2 = Z * Z
+    U2 = x2 * Z2
+    S2 = y2 * Z2 * Z
+    H = U2 - X
+    rr = S2 - Y
+    if H.is_zero():
+        if rr.is_zero():
+            return _jac_double(X, Y, Z)
+        zero = X - X
+        return X, Y, zero  # P + (-P) = infinity
+    H2 = H * H
+    H3 = H2 * H
+    XH2 = X * H2
+    X3 = rr * rr - H3 - XH2 - XH2
+    Y3 = rr * (XH2 - X3) - Y * H3
+    Z3 = Z * H
+    return X3, Y3, Z3
+
+
 class _CurvePoint:
     """Shared affine short-Weierstrass group law: y^2 = x^3 + b."""
 
@@ -76,16 +123,22 @@ class _CurvePoint:
         return self + (-o)
 
     def __mul__(self, k):
-        """Scalar multiplication by Fr (or int)."""
+        """Scalar multiplication by Fr (or int) — Jacobian double-and-add
+        with a single final inversion."""
         e = k.n if isinstance(k, Fr) else int(k) % params.R
-        result = type(self).zero()
-        base = self
-        while e > 0:
-            if e & 1:
-                result = result + base
-            base = base.double()
-            e >>= 1
-        return result
+        if e == 0 or self.is_zero():
+            return type(self).zero()
+        x2, y2 = self.x, self.y
+        X, Y, Z = x2, y2, self.field.one()  # accumulator starts at P (MSB)
+        for bit in bin(e)[3:]:
+            X, Y, Z = _jac_double(X, Y, Z)
+            if bit == "1":
+                X, Y, Z = _jac_add_affine(X, Y, Z, x2, y2)
+        if Z.is_zero():
+            return type(self).zero()
+        zinv = Z.inv()
+        zinv2 = zinv * zinv
+        return type(self)(X * zinv2, Y * zinv2 * zinv)
 
     def __eq__(self, o):
         return self.x == o.x and self.y == o.y

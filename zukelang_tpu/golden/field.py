@@ -137,8 +137,17 @@ class Fq2:
     def __mul__(self, o):
         if isinstance(o, Fq):
             return Fq2(self.c0 * o, self.c1 * o)
+        # Karatsuba: 3 Fq muls
         a, b, c, d = self.c0, self.c1, o.c0, o.c1
-        return Fq2(a * c - b * d, a * d + b * c)
+        v0 = a * c
+        v1 = b * d
+        t = (a + b) * (c + d)
+        return Fq2(v0 - v1, t - v0 - v1)
+
+    def square(self):
+        # complex squaring: 2 Fq muls
+        a, b = self.c0, self.c1
+        return Fq2((a + b) * (a - b), (m := a * b) + m)
 
     def conj(self):
         return Fq2(self.c0, -self.c1)
@@ -237,14 +246,16 @@ class Fq6:
     def __mul__(self, o):
         if isinstance(o, Fq2):
             return Fq6(self.c0 * o, self.c1 * o, self.c2 * o)
+        # Karatsuba-style interpolation: 6 Fq2 muls
         a0, a1, a2 = self.c0, self.c1, self.c2
         b0, b1, b2 = o.c0, o.c1, o.c2
-        t0 = a0 * b0
-        t1 = a0 * b1 + a1 * b0
-        t2 = a0 * b2 + a1 * b1 + a2 * b0
-        t3 = a1 * b2 + a2 * b1
-        t4 = a2 * b2
-        return Fq6(t0 + t3 * XI, t1 + t4 * XI, t2)
+        v0 = a0 * b0
+        v1 = a1 * b1
+        v2 = a2 * b2
+        c0 = v0 + ((a1 + a2) * (b1 + b2) - v1 - v2) * XI
+        c1 = (a0 + a1) * (b0 + b1) - v0 - v1 + v2 * XI
+        c2 = (a0 + a2) * (b0 + b2) - v0 + v1 - v2
+        return Fq6(c0, c1, c2)
 
     def mul_by_v(self):
         """Multiply by v: (c0, c1, c2) -> (xi*c2, c0, c1)."""
@@ -297,16 +308,19 @@ class Fq12:
         return Fq12(-self.c0, -self.c1)
 
     def __mul__(self, o):
+        # Karatsuba: 3 Fq6 muls
         a0, a1, b0, b1 = self.c0, self.c1, o.c0, o.c1
-        t0 = a0 * b0
-        t1 = a1 * b1
-        return Fq12(t0 + t1.mul_by_v(), a0 * b1 + a1 * b0)
+        v0 = a0 * b0
+        v1 = a1 * b1
+        t = (a0 + a1) * (b0 + b1)
+        return Fq12(v0 + v1.mul_by_v(), t - v0 - v1)
 
     def square(self):
+        # complex squaring: 2 Fq6 muls
         a0, a1 = self.c0, self.c1
-        t0 = a0 * a0
-        t1 = a1 * a1
-        return Fq12(t0 + t1.mul_by_v(), (a0 * a1) + (a0 * a1))
+        m = a0 * a1
+        t = (a0 + a1) * (a0 + a1.mul_by_v())
+        return Fq12(t - m - m.mul_by_v(), m + m)
 
     def conj(self):
         """p^6-Frobenius: conjugation over Fq6 (negates the w coefficient)."""

@@ -21,8 +21,14 @@ _W = Fq12(Fq6.zero(), Fq6.one())                 # w
 _W2_INV = (_W * _W).inv()
 _W3_INV = (_W * _W * _W).inv()
 
-# Hard part exponent of the final exponentiation, (p^4 - p^2 + 1) / r.
-_HARD_EXP = (params.P ** 4 - params.P ** 2 + 1) // params.R
+# Hard part of the final exponentiation.  Like blst/arkworks we raise to
+# 3*(p^4-p^2+1)/r, using the BLS12 decomposition
+#   (z-1)^2 * (z+p) * (z^2+p^2-1) + 3  ==  3*(p^4-p^2+1)/r
+# (verified below), which needs only four ~64-bit exponentiations by the BLS
+# parameter z instead of one 1270-bit exponentiation.
+_Z = -params.BLS_X
+assert ((_Z - 1) ** 2 * (_Z + params.P) * (_Z * _Z + params.P ** 2 - 1) + 3
+        == 3 * (params.P ** 4 - params.P ** 2 + 1) // params.R)
 
 
 def _fq2_to_fq12(a: Fq2) -> Fq12:
@@ -91,12 +97,32 @@ def miller_loop(p: G1, q: G2) -> Fq12:
     return f
 
 
+def _cyc_pow(f: Fq12, e: int) -> Fq12:
+    """Exponentiation for elements of the cyclotomic subgroup, where the
+    inverse is free (conjugation)."""
+    if e < 0:
+        return _cyc_pow(f, -e).conj()
+    result, base = Fq12.one(), f
+    while e > 0:
+        if e & 1:
+            result = result * base
+        base = base.square()
+        e >>= 1
+    return result
+
+
 def final_exponentiation(f: Fq12) -> Fq12:
-    # easy part: f^((p^6-1)(p^2+1))
+    # easy part: f^((p^6-1)(p^2+1)); afterwards f lies in the cyclotomic
+    # subgroup (inverse == conjugate).
     f1 = f.conj() * f.inv()
-    f2 = f1.frobenius(2) * f1
-    # hard part: f2^((p^4-p^2+1)/r)
-    return f2 ** _HARD_EXP
+    f = f1.frobenius(2) * f1
+    # hard part: f^((z-1)^2 (z+p) (z^2+p^2-1) + 3)
+    z = _Z
+    t0 = _cyc_pow(f, z - 1)
+    t0 = _cyc_pow(t0, z - 1)                      # f^((z-1)^2)
+    t1 = _cyc_pow(t0, z) * t0.frobenius(1)        # ^(z+p)
+    t2 = _cyc_pow(_cyc_pow(t1, z), z) * t1.frobenius(2) * t1.conj()  # ^(z^2+p^2-1)
+    return t2 * f.square() * f                    # * f^3
 
 
 def pairing(p: G1, q: G2) -> GT:
