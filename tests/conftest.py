@@ -3,15 +3,22 @@
 JAX tests run on a virtual 8-device CPU mesh so multi-chip sharding is
 exercised without TPU hardware (the driver separately dry-runs the
 multichip path; bench.py uses the real chip).
+
+NOTE: this image boots JAX with the axon TPU-tunnel plugin and forces
+`jax_platforms=axon,cpu` from sitecustomize, ignoring the JAX_PLATFORMS
+env var — so the CPU override must go through jax.config after import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
