@@ -1,0 +1,137 @@
+"""Synthetic R1CS instances and the benchmark pipeline driver.
+
+BASELINE configs ask for 2^16 / 2^20-constraint synthetic R1CS through the
+full NTT + Pippenger Groth16 pipeline.  Circuits of that size are built
+directly as flat arrays (building 2^20 python Gate objects would dominate
+runtime), with the witness generated host-side to satisfy every gate.
+
+Instance shape: a multiplicative chain.  Witness w_0 = 1 (ONE), w_1 = x
+secret; gate g (g = 0..G-1) asserts  w_{g+2} = w_{a_g} * w_{b_g}  with
+a_g, b_g random indices < g+2.  One public output (the last wire).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from . import params
+from .core import flat as flat_mod
+from .golden.field import Fr
+from .ops import field_jax as F
+
+
+@dataclass
+class SyntheticR1CS:
+    fc: flat_mod.FlatCircuit
+    witness: List[int]          # values per var column (ints mod r)
+    mids_cols: np.ndarray
+    ios_cols: np.ndarray
+
+    def pack_witness(self):
+        import jax.numpy as jnp
+        return jnp.asarray(F.pack_mont(self.witness + [0], F.FR))
+
+
+def make_synthetic_r1cs(log_constraints: int, seed: int = 1) -> SyntheticR1CS:
+    rng = np.random.RandomState(seed)
+    G = 1 << log_constraints
+    V = G + 2
+    r = params.R
+
+    a_idx = np.empty(G, dtype=np.int64)
+    b_idx = np.empty(G, dtype=np.int64)
+    for g in range(G):
+        hi = g + 2
+        a_idx[g] = rng.randint(0, hi)
+        b_idx[g] = rng.randint(0, hi)
+
+    # witness: w0 = 1, w1 = random secret, w_{g+2} = w_a * w_b
+    w = [0] * V
+    w[0] = 1
+    w[1] = int.from_bytes(rng.bytes(32), "little") % r
+    for g in range(G):
+        w[g + 2] = w[a_idx[g]] * w[b_idx[g]] % r
+
+    nl = params.FR_LIMBS
+    one_col = np.asarray(F.pack_mont([1], F.FR))  # (nl, 1) Montgomery one
+
+    def side(idx_arr):
+        Gn = len(idx_arr)
+        idx = idx_arr.reshape(Gn, 1).astype(np.int32)
+        coef = np.broadcast_to(one_col.reshape(nl, 1, 1), (nl, Gn, 1)).copy()
+        order = np.argsort(idx_arr, kind="stable")
+        t_var = idx_arr[order].astype(np.int32)
+        t_gate = order.astype(np.int32)
+        t_coef = np.broadcast_to(one_col, (nl, Gn)).copy()
+        return flat_mod.FlatSide(idx=idx, coef=coef, t_var=t_var,
+                                 t_gate=t_gate, t_coef=t_coef)
+
+    lhs_idx = np.arange(2, G + 2, dtype=np.int64)
+    fc = flat_mod.FlatCircuit(
+        vars_sorted=list(range(V)),      # columns ARE the var ids here
+        var_index={i: i for i in range(V)},
+        n_gates=G,
+        logn=log_constraints,
+        l=side(a_idx),
+        r=side(b_idx),
+        lhs=side(lhs_idx),
+    )
+    # public io: ONE (col 0) and the final output wire; everything else mid
+    ios = np.array([0, V - 1], dtype=np.int32)
+    mids = np.array([i for i in range(1, V - 1)], dtype=np.int32)
+    return SyntheticR1CS(fc=fc, witness=w, mids_cols=mids, ios_cols=ios)
+
+
+def bench_groth16(log_constraints: int, seed: int = 1, repeats: int = 3):
+    """Full keygen + prove + verify; returns timing dict."""
+    import jax
+    from .protocols import groth16_device as gd
+    from .rng import Gen
+
+    inst = make_synthetic_r1cs(log_constraints, seed)
+    fc = inst.fc
+
+    t0 = time.time()
+    crs, vkey = gd.keygen_device(
+        fc, mids=list(inst.mids_cols), ios=list(inst.ios_cols),
+        rng=Gen(b"bench-keygen"))
+    jax.block_until_ready(crs.ti1)
+    t_keygen = time.time() - t0
+
+    wm = inst.pack_witness()
+    # warm-up (compilation)
+    t0 = time.time()
+    proof = gd.prove_device(crs, fc, wm, Gen(b"bench-prove"))
+    t_first = time.time() - t0
+
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        proof = gd.prove_device(crs, fc, wm, Gen(b"bench-prove-%d" % i))
+        times.append(time.time() - t0)
+    t_prove = min(times)
+
+    t0 = time.time()
+    public = {int(c): Fr(inst.witness[c]) for c in inst.ios_cols}
+    ok = gd.verify(public, vkey, proof)
+    t_verify = time.time() - t0
+    assert ok, "benchmark proof failed to verify"
+
+    n = 1 << log_constraints
+    # MSM throughput: prove does 3 G1 MSMs of n, 1 G1 of n-1, 1 of |mids|,
+    # 1 G2 MSM of n.  Count G1-equivalent point-ops (G2 add ~ 3x G1).
+    msm_terms = 4 * n + len(inst.mids_cols) + 3 * n
+    return {
+        "log_constraints": log_constraints,
+        "keygen_s": t_keygen,
+        "prove_first_s": t_first,
+        "prove_s": t_prove,
+        "verify_s": t_verify,
+        "msm_terms_per_prove": msm_terms,
+        "msm_mops_per_s": msm_terms / t_prove / 1e6,
+        "verified": ok,
+    }

@@ -52,6 +52,16 @@ class Engine:
     def qap_eval(self, qap: qap_mod.QAP, sol: Dict[Var, Fr]) -> Tuple[List[Fr], List[Fr]]:
         raise NotImplementedError
 
+    def qap_witness_reduction(self, qap: qap_mod.QAP, sol: Dict[Var, Fr]):
+        """(A, B, h) where A = sum_k sol_k v_k, B = sum_k sol_k w_k (coeff
+        lists) and h = (A*B - C)/target.  The prover-side workload."""
+        raise NotImplementedError
+
+    def qap_eval_at(self, qap: qap_mod.QAP, x: Fr):
+        """({v_k(x)}, {w_k(x)}, {y_k(x)}) dicts over all variables.  The
+        keygen-side workload."""
+        raise NotImplementedError
+
 
 class GoldenEngine(Engine):
     """Pure-Python engine: the reference's naive algorithms, verbatim."""
@@ -78,6 +88,28 @@ class GoldenEngine(Engine):
 
     def qap_eval(self, qap, sol):
         return qap_mod.eval_witness(sol, qap)
+
+    def qap_witness_reduction(self, qap, sol):
+        def combine(polys):
+            acc = poly.zero()
+            for k, p in polys.items():
+                acc = poly.add(acc, poly.mul_scalar(sol[k], p))
+            return acc
+
+        a = combine(qap.v)
+        b = combine(qap.w)
+        c = combine(qap.y)
+        p = poly.sub(poly.mul(a, b), c)
+        h, rem = poly.div_rem(p, qap.target)
+        if not poly.is_zero(rem):
+            raise AssertionError("witness does not satisfy the QAP")
+        return a, b, h
+
+    def qap_eval_at(self, qap, x):
+        v = {k: poly.apply(p, x) for k, p in qap.v.items()}
+        w = {k: poly.apply(p, x) for k, p in qap.w.items()}
+        y = {k: poly.apply(p, x) for k, p in qap.y.items()}
+        return v, w, y
 
 
 _default_engine: Engine = GoldenEngine()

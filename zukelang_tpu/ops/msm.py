@@ -1,0 +1,223 @@
+"""Multi-scalar multiplication (Pippenger) and fixed-base batches on TPU.
+
+Replaces the reference's linear fold "MSM" (curve.ml:94-103: one scalar-mult
+per term) with TPU-native array algorithms:
+
+  * `msm_g1` / `msm_g2`: Pippenger over c-bit windows.  Data-dependent
+    bucket accumulation is reformulated as sort-by-bucket + a segmented
+    Hillis-Steele scan (log-depth, one point-add per traced loop body so
+    XLA graphs stay small), then a suffix-scan bucket reduction.
+  * `fixed_base_mul`: batched g*s via a precomputed window table of
+    generator multiples (gather + adds) — the keygen workhorse.
+  * `g_powers`: {g^(s^i)} — curve.ml:106-109 equivalent.
+
+Scalars cross this API in standard (non-Montgomery) form as (FR_LIMBS, N)
+uint32 limb arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import params
+from . import curve_jax as C
+from . import field_jax as F
+
+
+def _scalars_to_windows(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(nl, N) standard-form scalars -> (n_windows, N) int32 window digits,
+    least-significant window first."""
+    assert params.LIMB_BITS % c == 0
+    per_limb = params.LIMB_BITS // c
+    nl, n = scalars_std.shape
+    outs = []
+    for i in range(nl):
+        v = scalars_std[i]
+        for j in range(per_limb):
+            outs.append(((v >> (j * c)) & jnp.uint32((1 << c) - 1)).astype(jnp.int32))
+    return jnp.stack(outs, axis=0)
+
+
+def _roll(x: jnp.ndarray, shift) -> jnp.ndarray:
+    return jnp.roll(x, shift, axis=-1)
+
+
+def _hs_segmented_scan(points: C.Point, seg: jnp.ndarray,
+                       ops: C.FieldOps) -> C.Point:
+    """Inclusive segmented prefix-sum along the batch axis (seg sorted).
+
+    Hillis-Steele: log2(N) rounds, each ONE batched point-add plus a roll
+    and a mask — the traced body stays tiny and shapes never change.
+    """
+    n = seg.shape[-1]
+    logn = max(1, (n - 1).bit_length())
+    idx = jnp.arange(n)
+
+    def body(d, st):
+        X, Y, Z = st
+        sh = jnp.int32(1) << d
+        prevX = _roll(X, sh)
+        prevY = _roll(Y, sh)
+        prevZ = _roll(Z, sh)
+        valid = (idx >= sh) & (seg == _roll(seg, sh))
+        aX, aY, aZ = C.point_add((X, Y, Z), (prevX, prevY, prevZ), ops)
+        X = ops.select(valid, aX, X)
+        Y = ops.select(valid, aY, Y)
+        Z = ops.select(valid, aZ, Z)
+        return X, Y, Z
+
+    return jax.lax.fori_loop(0, logn, body, points)
+
+
+def _hs_total(points: C.Point, ops: C.FieldOps) -> C.Point:
+    """Sum of all points along the batch axis -> batch-1 point.  Same
+    log-depth structure with a constant segment id."""
+    n = points[0].shape[-1]
+    seg = jnp.zeros(n, dtype=jnp.int32)
+    X, Y, Z = _hs_segmented_scan(points, seg, ops)
+    return X[..., -1:], Y[..., -1:], Z[..., -1:]
+
+
+def _bucket_sums(points: C.Point, digits: jnp.ndarray, n_buckets: int,
+                 ops: C.FieldOps, infinity) -> C.Point:
+    """Per-bucket sums for one window: sort by digit, segmented scan,
+    scatter segment tails into the bucket array."""
+    order = jnp.argsort(digits)
+    d_sorted = digits[order]
+    pts = tuple(x[..., order] for x in points)
+    sX, sY, sZ = _hs_segmented_scan(pts, d_sorted, ops)
+    is_tail = jnp.concatenate(
+        [d_sorted[:-1] != d_sorted[1:], jnp.array([True])])
+    tgt = jnp.where(is_tail, d_sorted, n_buckets)  # dummy slot for non-tails
+    bX, bY, bZ = infinity(n_buckets + 1)
+    bX = bX.at[..., tgt].set(sX)
+    bY = bY.at[..., tgt].set(sY)
+    bZ = bZ.at[..., tgt].set(sZ)
+    return bX[..., :n_buckets], bY[..., :n_buckets], bZ[..., :n_buckets]
+
+
+def _weighted_bucket_reduce(buckets: C.Point, ops: C.FieldOps,
+                            infinity) -> C.Point:
+    """sum_{b=1}^{B-1} b * S_b via suffix sums: T_j = sum_{b>=j} S_b,
+    result = sum_{j>=1} T_j."""
+    X, Y, Z = buckets
+    inf1 = infinity(1)
+    X = X.at[..., 0:1].set(inf1[0])  # weight of bucket 0 is 0
+    Y = Y.at[..., 0:1].set(inf1[1])
+    Z = Z.at[..., 0:1].set(inf1[2])
+    rev = (X[..., ::-1], Y[..., ::-1], Z[..., ::-1])
+    seg = jnp.zeros(X.shape[-1], dtype=jnp.int32)
+    sX, sY, sZ = _hs_segmented_scan(rev, seg, ops)  # sX[k] = T_{B-1-k}
+    # sum T_j for j >= 1 only: drop the last scan entry (T_0) by replacing
+    # it with infinity before the total.
+    inf1 = infinity(1)
+    sX = sX.at[..., -1:].set(inf1[0])
+    sY = sY.at[..., -1:].set(inf1[1])
+    sZ = sZ.at[..., -1:].set(inf1[2])
+    return _hs_total((sX, sY, sZ), ops)
+
+
+def _msm_impl(points: C.Point, scalars_std: jnp.ndarray, c: int,
+              ops: C.FieldOps, infinity) -> C.Point:
+    digits = _scalars_to_windows(scalars_std, c)     # (W, N)
+    n_buckets = 1 << c
+
+    def window_body(carry, dig):
+        ws = _weighted_bucket_reduce(
+            _bucket_sums(points, dig, n_buckets, ops, infinity),
+            ops, infinity)
+        return carry, ws
+
+    _, wsums = jax.lax.scan(window_body, 0, digits)
+    # wsums: tuple of arrays with leading window axis, batch 1
+
+    # Horner over windows, high to low: acc = 2^c * acc + W_w
+    n_windows = digits.shape[0]
+    acc = tuple(v[n_windows - 1] for v in wsums)
+
+    def horner_body(i, acc):
+        w = n_windows - 2 - i
+
+        def dbl(_, a):
+            return C.point_double(a, ops)
+
+        acc = jax.lax.fori_loop(0, c, dbl, acc)
+        nxt = tuple(jax.lax.dynamic_index_in_dim(v, w, 0, keepdims=False)
+                    for v in wsums)
+        return C.point_add(acc, nxt, ops)
+
+    return jax.lax.fori_loop(0, n_windows - 1, horner_body, acc)
+
+
+def msm_g1(points: C.Point, scalars_std: jnp.ndarray, c: int = 8) -> C.Point:
+    """Pippenger MSM over G1: sum_k scalars[k] * points[k] (batch-1 point).
+    Scalars in standard (non-Montgomery) form."""
+    return _msm_impl(points, scalars_std, c, C.FQ_OPS, C.infinity_g1)
+
+
+def msm_g2(points: C.Point, scalars_std: jnp.ndarray, c: int = 8) -> C.Point:
+    return _msm_impl(points, scalars_std, c, C.FQ2_OPS, C.infinity_g2)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base batches
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _fixed_base_table(group: str, c: int) -> Tuple[np.ndarray, ...]:
+    """Host-precomputed window table flattened as (W * 2^c) points:
+    entry [w * 2^c + d] = d * 2^(cw) * G, packed Montgomery limbs."""
+    from ..golden.curve import G1, G2
+    gen = G1.generator() if group == "g1" else G2.generator()
+    n_windows = (256 + c - 1) // c
+    pts = []
+    base = gen
+    for w in range(n_windows):
+        acc = type(gen).zero()
+        for d in range(1 << c):
+            pts.append(acc)
+            acc = acc + base
+        for _ in range(c):
+            base = base.double()
+    packed = C.pack_g1(pts) if group == "g1" else C.pack_g2(pts)
+    return tuple(np.asarray(x) for x in packed)
+
+
+def fixed_base_mul(scalars_std: jnp.ndarray, group: str = "g1",
+                   c: int = 8) -> C.Point:
+    """[g * s for s in scalars] — window-table gathers + a fori of adds."""
+    table = tuple(jnp.asarray(x) for x in _fixed_base_table(group, c))
+    ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
+    digits = _scalars_to_windows(scalars_std, c)  # (W, N)
+    n_windows = digits.shape[0]
+
+    def window_points(w, dig):
+        idx = w * (1 << c) + dig
+        return tuple(t[..., idx] for t in table)
+
+    def body(w, acc):
+        dig = jax.lax.dynamic_index_in_dim(digits, w, 0, keepdims=False)
+        return C.point_add(acc, window_points(w, dig), ops)
+
+    acc = window_points(0, digits[0])
+    return jax.lax.fori_loop(1, n_windows, body, acc)
+
+
+def powers_of(s: int, d: int) -> jnp.ndarray:
+    """[s^0..s^d] standard form, packed (nl, d+1); host-side (d modmuls)."""
+    out = []
+    acc = 1
+    for _ in range(d + 1):
+        out.append(acc)
+        acc = acc * s % params.R
+    return F.pack(out, F.FR)
+
+
+def g_powers(s: int, d: int, group: str = "g1") -> C.Point:
+    """{g^(s^i)}_{i in [0..d]} (curve.ml:106-109) as one fixed-base batch."""
+    return fixed_base_mul(powers_of(s, d), group=group)

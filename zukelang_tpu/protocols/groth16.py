@@ -79,13 +79,9 @@ class Groth16:
         # L_i(x) = beta*A_i(x) + alpha*B_i(x) + C_i(x), evaluated at tau.
         # (groth16.ml:59-68 keeps polynomials; evaluating at tau directly is
         # equivalent and is what the batched engines want.)
-        lvars = sorted(qap.v.keys())
-        l_at_tau: Dict[Var, Fr] = {}
-        for k in lvars:
-            pa = poly.apply(qap.v[k], tau)
-            pb = poly.apply(qap.w[k], tau)
-            pc = poly.apply(qap.y[k], tau)
-            l_at_tau[k] = beta * pa + alpha * pb + pc
+        v_at, w_at, y_at = eng.qap_eval_at(qap, tau)
+        l_at_tau: Dict[Var, Fr] = {
+            k: beta * v_at[k] + alpha * w_at[k] + y_at[k] for k in v_at}
 
         dinv = delta.inv()
         ginv = gamma.inv()
@@ -128,31 +124,17 @@ class Groth16:
     # -- prove (groth16.ml:116-161, 235-237) -------------------------------
     def prove(self, rng, qap: QAP, pkey: PKey, sol: Dict[Var, Fr]) -> Proof:
         eng = self.eng
-        _p, h = eng.qap_eval(qap, sol)
+        # One witness reduction provides the combined polynomials
+        # A = sum w_k A_k, B = sum w_k B_k and the quotient h — equivalent
+        # to the per-variable sum_apply_powers folds of groth16.ml:116-121
+        # by bilinearity, but one NTT pipeline on the TPU engine.
+        a_comb, b_comb, h = eng.qap_witness_reduction(qap, sol)
         r = rng.fr()
         s = rng.fr()
 
-        wvars = sorted(sol.keys())
-
-        def sum_apply_powers_g1(ps: Dict[Var, List[Fr]], ti: List[G1]) -> G1:
-            # Sigma_k w_k * P_k(tau) in the exponent (groth16.ml:116-121).
-            # Batched: collapse to one combined polynomial then one
-            # apply_powers — Sigma_k w_k P_k evaluated at tau equals
-            # apply_powers(Sigma_k w_k P_k).
-            combined = poly.zero()
-            for k in wvars:
-                combined = poly.add(combined, poly.mul_scalar(sol[k], ps[k]))
-            return eng.g1_apply_powers(combined, ti)
-
-        def sum_apply_powers_g2(ps, ti):
-            combined = poly.zero()
-            for k in wvars:
-                combined = poly.add(combined, poly.mul_scalar(sol[k], ps[k]))
-            return eng.g2_apply_powers(combined, ti)
-
-        a = pkey.a + sum_apply_powers_g1(qap.v, pkey.ti1) + pkey.d1 * r
-        b = pkey.b2 + sum_apply_powers_g2(qap.w, pkey.ti2) + pkey.d2 * s
-        b1 = pkey.b1 + sum_apply_powers_g1(qap.w, pkey.ti1) + pkey.d1 * s
+        a = pkey.a + eng.g1_apply_powers(a_comb, pkey.ti1) + pkey.d1 * r
+        b = pkey.b2 + eng.g2_apply_powers(b_comb, pkey.ti2) + pkey.d2 * s
+        b1 = pkey.b1 + eng.g1_apply_powers(b_comb, pkey.ti1) + pkey.d1 * s
         htztd = eng.g1_apply_powers(h, pkey.tiztd)
         mids_sorted = sorted(pkey.ltd_mid.keys())
         c_mid = eng.g1_dot([pkey.ltd_mid[k] for k in mids_sorted],

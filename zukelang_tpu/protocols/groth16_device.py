@@ -1,0 +1,252 @@
+"""Device-resident Groth16: CRS and prover state live on-device as packed
+limb arrays; only the 3 proof points and the (small) verifying key ever
+leave the chip.
+
+Same math as protocols.groth16 (mirroring src/groth16/groth16.ml) and
+byte-identical proofs given the same injected randomness — differentially
+tested against the golden path on small circuits.  This is the bench /
+production path for 2^16..2^20-constraint R1CS: witness reduction is the
+NTT pipeline, CRS generation is fixed-base batches, proving is Pippenger
+MSMs, all jitted with shapes padded to powers of two.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import params
+from ..core import flat as flat_mod
+from ..engine import jax_engine as je
+from ..golden.curve import G1, G2, GT
+from ..golden.field import Fr
+from ..golden.pairing import pairing
+from ..ops import curve_jax as C
+from ..ops import field_jax as F
+from ..ops import msm as msm_mod
+from ..ops import ntt as ntt_mod
+
+
+@dataclass
+class DeviceCRS:
+    """Proving key on device (groth16.ml:24-34 layout, packed)."""
+    alpha_g1: G1               # host single points (tiny)
+    beta_g1: G1
+    beta_g2: G2
+    delta_g1: G1
+    delta_g2: G2
+    ti1: C.Point               # {tau^i} G1, batch N (padded)
+    ti2: C.Point               # {tau^i} G2
+    ltd_mid: C.Point           # {L_k(tau)/delta} for mids
+    tiztd: C.Point             # {tau^i Z(tau)/delta}
+    mids_idx: np.ndarray       # witness columns feeding ltd_mid
+    n: int                     # domain size (degree of Z)
+
+
+@dataclass
+class DeviceVKey:
+    one1: G1
+    ltgm_io: Dict               # var -> G1 (golden; io is small)
+    one2: G2
+    gm: G2
+    d: G2
+    ab: GT
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_msm_mont(n: int, group: str, c: int):
+    """MSM where scalars arrive in Montgomery form (converted on device)."""
+    fn = msm_mod.msm_g1 if group == "g1" else msm_mod.msm_g2
+
+    def run(P, S_mont):
+        return fn(P, F.from_mont(S_mont, F.FR)[: params.FR_LIMBS], c=c)
+
+    return jax.jit(run)
+
+
+def _pad_scalars(scalars_mont: jnp.ndarray, n: int) -> jnp.ndarray:
+    cur = scalars_mont.shape[1]
+    if cur < n:
+        return jnp.pad(scalars_mont, ((0, 0), (0, n - cur)))
+    return scalars_mont[:, :n]
+
+
+def _pad_points(p: C.Point, n: int, group: str) -> C.Point:
+    cur = p[0].shape[-1]
+    if cur == n:
+        return p
+    inf = C.infinity_g1(n - cur) if group == "g1" else C.infinity_g2(n - cur)
+    return tuple(jnp.concatenate([a, b], axis=-1) for a, b in zip(p, inf))
+
+
+def _np2(n: int) -> int:
+    return 1 << max(4, (n - 1).bit_length())
+
+
+def _msm(points: C.Point, scalars_mont: jnp.ndarray, group: str,
+         c: int = 8) -> "G1 | G2":
+    n = _np2(max(points[0].shape[-1], scalars_mont.shape[1]))
+    P = _pad_points(points, n, group)
+    S = _pad_scalars(scalars_mont, n)
+    res = _jit_msm_mont(n, group, c)(P, S)
+    return (C.unpack_g1(res) if group == "g1" else C.unpack_g2(res))[0]
+
+
+def keygen_device(fc: flat_mod.FlatCircuit, mids: Sequence, ios: Sequence,
+                  rng) -> Tuple[DeviceCRS, DeviceVKey]:
+    """Groth16 setup on device.  mids/ios are Var lists (circuit partition,
+    groth16.ml:227-233); scalars drawn in source order alpha, beta, gamma,
+    delta, tau (groth16.ml:51-55)."""
+    alpha = rng.fr()
+    beta = rng.fr()
+    gamma = rng.fr()
+    delta = rng.fr()
+    tau = rng.fr()
+
+    n = fc.domain_size
+    r = params.R
+
+    # Per-variable evaluations at tau (device transpose matvec).
+    lag = je._lagrange_at(fc.logn, tau.n)
+    v_at = je._jit_transpose_matvec(len(fc.vars_sorted))(
+        jnp.asarray(fc.l.t_var), jnp.asarray(fc.l.t_gate),
+        jnp.asarray(fc.l.t_coef), lag)
+    w_at = je._jit_transpose_matvec(len(fc.vars_sorted))(
+        jnp.asarray(fc.r.t_var), jnp.asarray(fc.r.t_gate),
+        jnp.asarray(fc.r.t_coef), lag)
+    y_at = je._jit_transpose_matvec(len(fc.vars_sorted))(
+        jnp.asarray(fc.lhs.t_var), jnp.asarray(fc.lhs.t_gate),
+        jnp.asarray(fc.lhs.t_coef), lag)
+
+    # L_k(tau) = beta*v_k + alpha*w_k + y_k, then /delta (mids) or /gamma (ios)
+    nv = v_at.shape[1]
+    l_at = _jit_lin3(nv)(
+        v_at, w_at, y_at,
+        F.const_mont(beta.n, nv, F.FR), F.const_mont(alpha.n, nv, F.FR))
+
+    mids_idx = np.array([fc.var_index[v] for v in sorted(mids)], dtype=np.int32)
+    ios_idx = np.array([fc.var_index[v] for v in sorted(ios)], dtype=np.int32)
+    dinv = pow(delta.n, -1, r)
+    ginv = pow(gamma.n, -1, r)
+    ltd_mid_sc = _jit_scale(len(mids_idx))(
+        l_at[:, mids_idx], F.const_mont(dinv, len(mids_idx), F.FR))
+    ltgm_io_sc = _jit_scale(len(ios_idx))(
+        l_at[:, ios_idx], F.const_mont(ginv, len(ios_idx), F.FR))
+
+    # host: powers of tau and the Z(tau) ladder (O(n) modmuls)
+    ti = []
+    acc = 1
+    for _ in range(n + 2):
+        ti.append(acc)
+        acc = acc * tau.n % r
+    z_tau = (pow(tau.n, n, r) - 1) % r
+    ztd = z_tau * dinv % r
+    tizd = [ti[i] * ztd % r for i in range(n - 1)]
+
+    # fixed-base batches
+    ti1 = _fixed_base_std(ti, "g1")
+    ti2 = _fixed_base_std(ti, "g2")
+    tiztd = _fixed_base_std(tizd, "g1")
+    ltd_mid = _fixed_base_mont(ltd_mid_sc, "g1")
+    ltgm_io_pts = C.unpack_g1(_fixed_base_mont(ltgm_io_sc, "g1"))
+
+    g1 = G1.generator()
+    g2 = G2.generator()
+    crs = DeviceCRS(
+        alpha_g1=g1 * alpha, beta_g1=g1 * beta, beta_g2=g2 * beta,
+        delta_g1=g1 * delta, delta_g2=g2 * delta,
+        ti1=ti1, ti2=ti2, ltd_mid=ltd_mid, tiztd=tiztd,
+        mids_idx=mids_idx, n=n)
+    vkey = DeviceVKey(
+        one1=g1,
+        ltgm_io={v: ltgm_io_pts[i] for i, v in enumerate(sorted(ios))},
+        one2=g2, gm=g2 * gamma, d=g2 * delta,
+        ab=pairing(g1 * alpha, g2 * beta))
+    return crs, vkey
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_lin3(n: int):
+    def run(v, w, y, b, a):
+        return F.add(F.add(F.mont_mul(v, b, F.FR), F.mont_mul(w, a, F.FR), F.FR),
+                     y, F.FR)
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_scale(n: int):
+    def run(x, s):
+        return F.mont_mul(x, s, F.FR)
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_fixed_base_std(n: int, group: str):
+    def run(S_std):
+        return msm_mod.fixed_base_mul(S_std, group=group)
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_fixed_base_mont(n: int, group: str):
+    def run(S_mont):
+        return msm_mod.fixed_base_mul(F.from_mont(S_mont, F.FR)[:params.FR_LIMBS],
+                                      group=group)
+    return jax.jit(run)
+
+
+def _fixed_base_std(scalars: List[int], group: str) -> C.Point:
+    n = _np2(len(scalars))
+    S = F.pack(scalars + [0] * (n - len(scalars)), F.FR)
+    return _jit_fixed_base_std(n, group)(S)
+
+
+def _fixed_base_mont(scalars_mont: jnp.ndarray, group: str) -> C.Point:
+    n = _np2(scalars_mont.shape[1])
+    return _jit_fixed_base_mont(n, group)(_pad_scalars(scalars_mont, n))
+
+
+def prove_device(crs: DeviceCRS, fc: flat_mod.FlatCircuit,
+                 witness_mont: jnp.ndarray, rng) -> "Proof":
+    """Groth16 prove on device (groth16.ml:123-161).
+
+    witness_mont: (nl, V+1) Montgomery witness (flat.pack_witness layout).
+    """
+    from .groth16 import Proof
+
+    r_sc = rng.fr()
+    s_sc = rng.fr()
+
+    args = je._flat_device_args(fc)
+    a_comb, b_comb, h = je._jit_witness_reduction(
+        fc.logn, fc.l.idx.shape[1], fc.r.idx.shape[1], fc.lhs.idx.shape[1],
+        fc.n_gates)(*args, witness_mont)
+
+    n = crs.n
+    A_sum = _msm(crs.ti1, a_comb, "g1")
+    B_sum = _msm(crs.ti2, b_comb, "g2")
+    B1_sum = _msm(crs.ti1, b_comb, "g1")
+    H_sum = _msm(crs.tiztd, h[:, : max(1, n - 1)], "g1")
+    Cmid = _msm(crs.ltd_mid, witness_mont[:, crs.mids_idx], "g1")
+
+    a = crs.alpha_g1 + A_sum + crs.delta_g1 * r_sc
+    b = crs.beta_g2 + B_sum + crs.delta_g2 * s_sc
+    b1 = crs.beta_g1 + B1_sum + crs.delta_g1 * s_sc
+    c = (Cmid + H_sum + a * s_sc + b1 * r_sc
+         - crs.delta_g1 * (r_sc * s_sc))
+    return Proof(a=a, b=b, c=c)
+
+
+def verify(public: Dict, vkey: DeviceVKey, proof) -> bool:
+    io_sorted = sorted(vkey.ltgm_io.keys())
+    if set(public.keys()) != set(io_sorted):
+        return False
+    lio = G1.dot([vkey.ltgm_io[k] for k in io_sorted],
+                 [public[k] for k in io_sorted])
+    return (pairing(proof.a, proof.b)
+            == vkey.ab + pairing(lio, vkey.gm) + pairing(proof.c, vkey.d))

@@ -108,10 +108,8 @@ class Pinocchio:
 
         t = poly.apply(qap.target, s)
 
-        # Evaluate every QAP polynomial at s once (batched-friendly).
-        v_s = {k: poly.apply(qap.v[k], s) for k in m}
-        w_s = {k: poly.apply(qap.w[k], s) for k in m}
-        y_s = {k: poly.apply(qap.y[k], s) for k in m}
+        # Evaluate every QAP polynomial at s once (batched on the engine).
+        v_s, w_s, y_s = eng.qap_eval_at(qap, s)
 
         # One big fixed-base batch in G1 and one in G2.
         g1_scalars: List[Fr] = []
@@ -206,7 +204,7 @@ class Pinocchio:
     # -- prove (pinocchio.ml:193-250, 423-515) -----------------------------
     def prove(self, rng, qap: QAP, pkey: PKey, sol: Dict[Var, Fr]) -> Proof:
         eng = self.eng
-        _p, h_poly = eng.qap_eval(qap, sol)
+        _a, _b, h_poly = eng.qap_witness_reduction(qap, sol)
 
         mids = sorted(pkey.vv.keys())
         c_mid = [sol[k] for k in mids]
