@@ -189,8 +189,9 @@ def _gate_eval(idx, coef, w):
     return acc
 
 
-@functools.lru_cache(maxsize=32)
-def _jit_witness_reduction(logn: int, kl: int, kr: int, ko: int, n_gates: int):
+def witness_reduction_fn(logn: int):
+    """Builds the (un-jitted) witness-reduction pipeline for one domain
+    size: gate evaluation -> iNTT -> coset quotient -> h coefficients."""
     n = 1 << logn
     zinv = ntt_mod.zh_on_coset_inv(logn)
 
@@ -213,7 +214,12 @@ def _jit_witness_reduction(logn: int, kl: int, kr: int, ko: int, n_gates: int):
         h = ntt_mod.coset_intt(h_cos)
         return a, b, h
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_witness_reduction(logn: int, kl: int, kr: int, ko: int, n_gates: int):
+    return jax.jit(witness_reduction_fn(logn))
 
 
 @functools.lru_cache(maxsize=32)

@@ -63,13 +63,34 @@ def _bitrev_host(logn: int) -> np.ndarray:
     return rev
 
 
-def ntt(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """In-place radix-2 NTT of a Montgomery-form (nl, N) Fr batch.
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """mont_mul over arrays with arbitrary trailing batch dims."""
+    shape = a.shape
+    r = F.mont_mul(a.reshape(shape[0], -1), b.reshape(shape[0], -1), F.FR)
+    return r.reshape(shape)
 
+
+def _madd(a, b):
+    shape = a.shape
+    return F.add(a.reshape(shape[0], -1), b.reshape(shape[0], -1),
+                 F.FR).reshape(shape)
+
+
+def _msub(a, b):
+    shape = a.shape
+    return F.sub(a.reshape(shape[0], -1), b.reshape(shape[0], -1),
+                 F.FR).reshape(shape)
+
+
+def ntt(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """In-place radix-2 NTT along axis 1 of a Montgomery-form Fr array.
+
+    x: (nl, N) or (nl, N, B) — the transform runs over axis 1; trailing
+    dims are independent batches (used by the distributed four-step NTT).
     Forward maps coefficients -> evaluations at w^0..w^(N-1); inverse maps
     back (including the 1/N scaling, FFT.ml:64-66).
     """
-    nl, n = x.shape
+    nl, n = x.shape[0], x.shape[1]
     assert nl == F.FR.nl and n & (n - 1) == 0
     logn = n.bit_length() - 1
     if n == 1:
@@ -81,6 +102,7 @@ def ntt(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
 
     half_n = n // 2
     j = jnp.arange(half_n)
+    extra = x.ndim - 2
 
     def stage(s, x):
         half = jnp.int32(1) << s
@@ -90,18 +112,19 @@ def ntt(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
         iv = iu + half
         # twiddle exponent: pos * (N / (2*half))
         tw_idx = pos << (logn - 1 - s)
-        w = tw[:, tw_idx]
+        w = tw[:, tw_idx].reshape(tw.shape[0], half_n, *([1] * extra))
         u = x[:, iu]
-        v = F.mont_mul(x[:, iv], w, F.FR)
-        x = x.at[:, iu].set(F.add(u, v, F.FR))
-        x = x.at[:, iv].set(F.sub(u, v, F.FR))
+        v = _mm(x[:, iv], jnp.broadcast_to(w, x[:, iv].shape))
+        x = x.at[:, iu].set(_madd(u, v))
+        x = x.at[:, iv].set(_msub(u, v))
         return x
 
     x = jax.lax.fori_loop(0, logn, stage, x)
 
     if inverse:
         n_inv = pow(n, -1, params.R)
-        x = F.mont_mul(x, F.const_mont(n_inv, n, F.FR), F.FR)
+        scale = F.const_mont(n_inv, n, F.FR).reshape(nl, n, *([1] * extra))
+        x = _mm(x, jnp.broadcast_to(scale, x.shape))
     return x
 
 
