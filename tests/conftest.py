@@ -16,9 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax
+from zukelang_tpu import jax_setup
 
-jax.config.update("jax_platforms", "cpu")
+jax_setup.force_cpu(8)
 
 import pytest
 

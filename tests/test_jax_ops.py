@@ -1,0 +1,152 @@
+"""Differential tests of the JAX/TPU ops layer against the golden backend.
+
+Runs on the host CPU backend (conftest forces it); batch sizes stay small
+because XLA:CPU both compiles and executes the grouped-conv limb kernels
+far slower than TPU does — these tests check *correctness*; performance is
+bench.py's job on the real chip.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zukelang_tpu import params
+from zukelang_tpu.golden.curve import G1, G2
+from zukelang_tpu.golden.field import Fr
+from zukelang_tpu.ops import curve_jax as C
+from zukelang_tpu.ops import field_jax as F
+from zukelang_tpu.ops import msm
+from zukelang_tpu.ops import ntt
+
+random.seed(42)
+
+
+@pytest.mark.parametrize("spec", [F.FR, F.FQ], ids=["fr", "fq"])
+def test_mont_mul_matches_python(spec):
+    N = 64
+    xs = [random.randrange(spec.p) for _ in range(N)]
+    ys = [random.randrange(spec.p) for _ in range(N)]
+    a, b = F.pack_mont(xs, spec), F.pack_mont(ys, spec)
+    c = jax.jit(lambda a, b: F.mont_mul(a, b, spec))(a, b)
+    assert F.unpack_mont(c, spec) == [(x * y) % spec.p for x, y in zip(xs, ys)]
+
+
+@pytest.mark.parametrize("spec", [F.FR, F.FQ], ids=["fr", "fq"])
+def test_field_edge_cases(spec):
+    ws = ([0, 1, spec.p - 1, spec.p - 2]
+          + [(1 << (16 * k)) % spec.p for k in range(spec.nl)])
+    wa = F.pack_mont(ws, spec)
+    got = F.unpack_mont(jax.jit(lambda x: F.mont_mul(x, x, spec))(wa), spec)
+    assert got == [(x * x) % spec.p for x in ws]
+    assert F.unpack_mont(F.add(wa, wa, spec), spec) == [2 * x % spec.p for x in ws]
+    assert F.unpack_mont(F.sub(F.neg(wa, spec), wa, spec), spec) == [
+        (-2 * x) % spec.p for x in ws]
+
+
+def test_inv_fermat():
+    spec = F.FR
+    xs = [0, 1, 5, spec.p - 1] + [random.randrange(spec.p) for _ in range(12)]
+    a = F.pack_mont(xs, spec)
+    got = F.unpack_mont(jax.jit(lambda a: F.inv(a, spec))(a), spec)
+    assert got == [pow(x, -1, spec.p) if x else 0 for x in xs]
+
+
+def test_ntt_roundtrip_and_values():
+    logn = 4
+    n = 1 << logn
+    coeffs = [random.randrange(params.R) for _ in range(n)]
+    x = F.pack_mont(coeffs, F.FR)
+    evals = jax.jit(ntt.ntt)(x)
+    w = ntt.root_for(logn)
+    exp = [sum(c * pow(w, (i * k) % n, params.R) for k, c in enumerate(coeffs))
+           % params.R for i in range(n)]
+    assert F.unpack_mont(evals, F.FR) == exp
+    back = F.unpack_mont(jax.jit(ntt.intt)(evals), F.FR)
+    assert back == coeffs
+
+
+def test_ntt_coset_division():
+    # h = p / Z recovered exactly on the coset for p divisible by Z
+    logn = 3
+    n = 1 << logn
+    hc = [random.randrange(params.R) for _ in range(n - 1)] + [0]
+    # p = h * (x^n - 1): coefficients
+    p = [0] * (2 * n)
+    for i, c in enumerate(hc):
+        p[i + n] = (p[i + n] + c) % params.R
+        p[i] = (p[i] - c) % params.R
+    # evaluate p on coset: via coset_ntt of its low+high split
+    lo = F.pack_mont(p[:n], F.FR)
+    hi = F.pack_mont(p[n:], F.FR)
+    glo = ntt.coset_ntt(lo)
+    ghi = ntt.coset_ntt(hi)
+    # x^n on coset = g^n (constant)
+    gn = pow(params.FR_GENERATOR, n, params.R)
+    p_cos = F.add(F.mont_mul(ghi, F.const_mont(gn, n, F.FR), F.FR), glo, F.FR)
+    zinv = ntt.zh_on_coset_inv(logn)
+    h_cos = F.mont_mul(p_cos, F.const_mont(zinv, n, F.FR), F.FR)
+    got = F.unpack_mont(ntt.coset_intt(h_cos), F.FR)
+    assert got == hc
+
+
+def test_g1_pointops_match_golden():
+    g = G1.generator()
+    pts = [g * random.randrange(1, 10 ** 9) for _ in range(7)] + [G1.zero()]
+    qts = [g * random.randrange(1, 10 ** 9) for _ in range(7)] + [G1.zero()]
+    P, Q = C.pack_g1(pts), C.pack_g1(qts)
+    addf = jax.jit(lambda p, q: C.point_add(p, q, C.FQ_OPS))
+    assert C.unpack_g1(addf(P, Q)) == [a + b for a, b in zip(pts, qts)]
+    assert C.unpack_g1(addf(P, P)) == [a + a for a in pts]
+    Pn = C.pack_g1([-a for a in pts])
+    assert all(x.is_zero() for x in C.unpack_g1(addf(P, Pn)))
+    dbl = jax.jit(lambda p: C.point_double(p, C.FQ_OPS))
+    assert C.unpack_g1(dbl(P)) == [a.double() for a in pts]
+
+
+def test_g2_pointops_match_golden():
+    h = G2.generator()
+    pts = [h * random.randrange(1, 10 ** 6) for _ in range(3)] + [G2.zero()]
+    qts = [h * random.randrange(1, 10 ** 6) for _ in range(3)] + [G2.zero()]
+    P, Q = C.pack_g2(pts), C.pack_g2(qts)
+    S = jax.jit(lambda p, q: C.point_add(p, q, C.FQ2_OPS))(P, Q)
+    assert C.unpack_g2(S) == [a + b for a, b in zip(pts, qts)]
+
+
+def test_msm_bucket_pipeline_one_window():
+    g = G1.generator()
+    N = 32
+    pts = [g * random.randrange(1, params.R) for _ in range(N - 1)] + [G1.zero()]
+    scs = [random.randrange(16) for _ in range(N)]
+    P = C.pack_g1(pts)
+    digits = jnp.array(scs, dtype=jnp.int32)
+    buckets = jax.jit(
+        lambda P, d: msm._bucket_sums(P, d, 16, C.FQ_OPS, C.infinity_g1))(P, digits)
+    got = C.unpack_g1(buckets)
+    exp = [G1.sum([p for p, s in zip(pts, scs) if s == b]) for b in range(16)]
+    assert got == exp
+    red = jax.jit(
+        lambda b: msm._weighted_bucket_reduce(b, C.FQ_OPS, C.infinity_g1))(buckets)
+    assert C.unpack_g1(red)[0] == G1.dot(pts, [Fr(s) for s in scs])
+
+
+@pytest.mark.slow
+def test_full_msm_small_window():
+    # c=4 keeps bucket arrays tiny so XLA:CPU can cope
+    g = G1.generator()
+    N = 16
+    pts = [g * random.randrange(1, params.R) for _ in range(N)]
+    scs = [random.randrange(params.R) for _ in range(N)]
+    P, S = C.pack_g1(pts), F.pack(scs, F.FR)
+    res = jax.jit(lambda p, s: msm.msm_g1(p, s, c=4))(P, S)
+    assert C.unpack_g1(res)[0] == G1.dot(pts, [Fr(s) for s in scs])
+
+
+@pytest.mark.slow
+def test_fixed_base_small():
+    scs = [0, 1, 2, params.R - 1] + [random.randrange(params.R) for _ in range(12)]
+    S = F.pack(scs, F.FR)
+    out = jax.jit(lambda s: msm.fixed_base_mul(s, "g1"))(S)
+    assert C.unpack_g1(out) == [G1.generator() * Fr(s) for s in scs]

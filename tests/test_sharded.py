@@ -1,0 +1,75 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zukelang_tpu import params
+from zukelang_tpu.golden.curve import G1
+from zukelang_tpu.golden.field import Fr
+from zukelang_tpu.ops import curve_jax as C
+from zukelang_tpu.ops import field_jax as F
+from zukelang_tpu.ops import ntt as ntt_mod
+from zukelang_tpu.parallel import sharded
+
+random.seed(5)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return sharded.make_mesh()
+
+
+def test_sharded_gate_eval(mesh):
+    G, K, V = 64, 2, 16
+    rs = np.random.RandomState(0)
+    idx = rs.randint(0, V, size=(G, K)).astype(np.int32)
+    coefs = [random.randrange(params.R) for _ in range(G * K)]
+    coef = np.asarray(F.pack_mont(coefs, F.FR)).reshape(params.FR_LIMBS, G, K)
+    wvals = [random.randrange(params.R) for _ in range(V + 1)]
+    w = jnp.asarray(F.pack_mont(wvals, F.FR))
+    ev = sharded.sharded_gate_eval(mesh, jnp.asarray(idx), jnp.asarray(coef), w)
+    got = F.unpack_mont(ev, F.FR)
+    exp = [sum(coefs[g * K + k] * wvals[idx[g, k]] for k in range(K)) % params.R
+           for g in range(G)]
+    assert got == exp
+
+
+def test_sharded_ntt_matches_single_device(mesh):
+    log1, log2 = 3, 4
+    N = 1 << (log1 + log2)
+    vals = [random.randrange(params.R) for _ in range(N)]
+    x_flat = F.pack_mont(vals, F.FR)
+    x3 = x_flat.reshape(params.FR_LIMBS, 1 << log1, 1 << log2)
+    y = sharded.sharded_ntt(mesh, x3, log1, log2)
+    yv = F.unpack_mont(np.asarray(y).reshape(params.FR_LIMBS, N), F.FR)
+    ref = F.unpack_mont(ntt_mod.ntt(x_flat), F.FR)
+    got = np.array(yv).reshape(1 << log2, 1 << log1)
+    # four-step output y[i2, i1] = NTT[i1 + N1*i2]
+    for i1 in range(1 << log1):
+        for i2 in range(1 << log2):
+            assert got[i2, i1] == ref[i1 + (1 << log1) * i2]
+
+
+@pytest.mark.slow
+def test_sharded_msm(mesh):
+    N = 64
+    pts = [G1.generator() * random.randrange(1, params.R) for _ in range(N)]
+    scs = [random.randrange(params.R) for _ in range(N)]
+    P = C.pack_g1(pts)
+    S = F.pack(scs, F.FR)
+    res = sharded.sharded_msm_g1(mesh, P, S, c=4)
+    got = C.unpack_g1(res)[0]
+    assert got == G1.dot(pts, [Fr(s) for s in scs])
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)

@@ -24,9 +24,12 @@ def force_cpu(n_devices: int = 8):
     """Route this process to the host CPU backend with n virtual devices.
 
     Needed because this image's sitecustomize pins jax_platforms to the
-    axon TPU tunnel regardless of JAX_PLATFORMS."""
+    axon TPU tunnel regardless of JAX_PLATFORMS.  Also disables the
+    persistent compilation cache: XLA:CPU AOT entries bake in host machine
+    features and reloading them on a different host can hang or SIGILL."""
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={n_devices}").strip()
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", None)

@@ -184,8 +184,11 @@ def _fixed_base_table(group: str, c: int) -> Tuple[np.ndarray, ...]:
             acc = acc + base
         for _ in range(c):
             base = base.double()
-    packed = C.pack_g1(pts) if group == "g1" else C.pack_g2(pts)
-    return tuple(np.asarray(x) for x in packed)
+    # May be reached while tracing (first jitted fixed_base_mul call):
+    # force eager evaluation so the table is a host constant.
+    with jax.ensure_compile_time_eval():
+        packed = C.pack_g1(pts) if group == "g1" else C.pack_g2(pts)
+        return tuple(np.asarray(x) for x in packed)
 
 
 def fixed_base_mul(scalars_std: jnp.ndarray, group: str = "g1",
