@@ -62,8 +62,7 @@ def test_sharded_msm(mesh):
     scs = [random.randrange(params.R) for _ in range(N)]
     P = C.pack_g1(pts)
     S = F.pack(scs, F.FR)
-    res = sharded.sharded_msm_g1(mesh, P, S, c=4)
-    got = C.unpack_g1(res)[0]
+    got = sharded.sharded_msm_g1(mesh, P, S, c=4)
     assert got == G1.dot(pts, [Fr(s) for s in scs])
 
 

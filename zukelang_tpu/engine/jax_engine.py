@@ -74,9 +74,7 @@ class JaxEngine(Engine):
         scs = [s.n for s in scalars] + [0] * (npad - n)
         P = C.pack_g1(pts) if group == "g1" else C.pack_g2(pts)
         S = F.pack(scs, F.FR)
-        res = _jit_msm(group, self.msm_window)(P, S)
-        out = C.unpack_g1(res) if group == "g1" else C.unpack_g2(res)
-        return out[0]
+        return msm_mod.msm_staged(P, S, group=group, c=self.msm_window)
 
     def g1_dot(self, points, scalars):
         return self._dot("g1", points, scalars)

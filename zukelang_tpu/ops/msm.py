@@ -155,13 +155,78 @@ def _msm_impl(points: C.Point, scalars_std: jnp.ndarray, c: int,
 
 
 def msm_g1(points: C.Point, scalars_std: jnp.ndarray, c: int = 8) -> C.Point:
-    """Pippenger MSM over G1: sum_k scalars[k] * points[k] (batch-1 point).
-    Scalars in standard (non-Montgomery) form."""
+    """Fully-traced Pippenger MSM over G1 (single jaxpr; for use inside
+    larger jitted programs).  For top-level calls prefer `msm_g1_staged` —
+    one compiled window program dispatched W times from the host, which
+    both compiles faster and avoids very large fused graphs."""
     return _msm_impl(points, scalars_std, c, C.FQ_OPS, C.infinity_g1)
 
 
 def msm_g2(points: C.Point, scalars_std: jnp.ndarray, c: int = 8) -> C.Point:
     return _msm_impl(points, scalars_std, c, C.FQ2_OPS, C.infinity_g2)
+
+
+# ---------------------------------------------------------------------------
+# Host-staged MSM: one jitted window program + host-side window combine
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _jit_window(group: str, c: int):
+    ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
+    infinity = C.infinity_g1 if group == "g1" else C.infinity_g2
+
+    def run(points, dig):
+        return _weighted_bucket_reduce(
+            _bucket_sums(points, dig, 1 << c, ops, infinity), ops, infinity)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_windows_extract(c: int):
+    return jax.jit(functools.partial(_scalars_to_windows, c=c))
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_window_combine(group: str, c: int, n_windows: int):
+    """Combine per-window sums on device: window w is doubled c*w times
+    (all windows in parallel with a masked double), then tree-summed.
+    Avoids both per-window host round-trips (slow over a TPU tunnel) and
+    deep fused Horner graphs."""
+    ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
+
+    def run(pts):
+        widx = jnp.arange(n_windows)
+
+        def body(d, p):
+            dX, dY, dZ = C.point_double(p, ops)
+            cond = d < (c * widx)
+            return (ops.select(cond, dX, p[0]),
+                    ops.select(cond, dY, p[1]),
+                    ops.select(cond, dZ, p[2]))
+
+        pts = jax.lax.fori_loop(0, c * (n_windows - 1), body, pts)
+        return _hs_total(pts, ops)
+
+    return jax.jit(run)
+
+
+def msm_staged(points: C.Point, scalars_std: jnp.ndarray, group: str = "g1",
+               c: int = 8):
+    """Host-staged Pippenger: returns a single golden point.
+
+    One compiled per-window program dispatched asynchronously W times, one
+    compiled combine program, ONE device->host fetch at the end."""
+    digits = _jit_windows_extract(c)(scalars_std)
+    n_windows = digits.shape[0]
+    wfn = _jit_window(group, c)
+    dev_results = [wfn(points, digits[w]) for w in range(n_windows)]
+    stacked = tuple(
+        jnp.concatenate([r[i] for r in dev_results], axis=-1)
+        for i in range(3))
+    final = _jit_window_combine(group, c, n_windows)(stacked)
+    unpack = C.unpack_g1 if group == "g1" else C.unpack_g2
+    return unpack(final)[0]
 
 
 # ---------------------------------------------------------------------------

@@ -55,25 +55,50 @@ def _fold_gathered(points: C.Point, ops: C.FieldOps) -> C.Point:
     return msm_mod._hs_total(points, ops)
 
 
-def sharded_msm_g1(mesh: Mesh, points: C.Point, scalars_std: jnp.ndarray,
-                   c: int = 8) -> C.Point:
-    """MSM with terms sharded across the mesh; result replicated."""
+@functools.lru_cache(maxsize=16)
+def _jit_sharded_window(mesh: Mesh, c: int, ndim: int):
+    """One Pippenger window with terms sharded across the mesh: each chip
+    buckets+reduces its shard, partials are all_gather'ed and folded.
+    Cached per (mesh, window size) so repeat calls reuse the executable."""
 
-    def local(pts, scs):
-        partial = msm_mod.msm_g1(pts, scs, c=c)            # batch-1 point
+    def local(pts, dig):
+        partial = msm_mod._weighted_bucket_reduce(
+            msm_mod._bucket_sums(pts, dig, 1 << c, C.FQ_OPS, C.infinity_g1),
+            C.FQ_OPS, C.infinity_g1)
         gathered = tuple(
             jax.lax.all_gather(x, AXIS, axis=x.ndim - 1, tiled=True)
             for x in partial)
         return _fold_gathered(gathered, C.FQ_OPS)
 
-    shard = P(*([None] * (points[0].ndim - 1) + [AXIS]))
-    out = jax.shard_map(
+    shard = P(*([None] * (ndim - 1) + [AXIS]))
+    return jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(tuple(shard for _ in points), P(None, AXIS)),
-        out_specs=tuple(P(*([None] * x.ndim)) for x in points),
+        in_specs=((shard,) * 3, P(AXIS)),
+        out_specs=(P(*([None] * ndim)),) * 3,
         check_vma=False,
-    )(points, scalars_std)
-    return out
+    ))
+
+
+def sharded_msm_window(mesh: Mesh, points: C.Point, digits: jnp.ndarray,
+                       c: int = 8) -> C.Point:
+    return _jit_sharded_window(mesh, c, points[0].ndim)(points, digits)
+
+
+def sharded_msm_g1(mesh: Mesh, points: C.Point, scalars_std: jnp.ndarray,
+                   c: int = 8):
+    """Full MSM with terms sharded across the mesh.  Host-staged over
+    windows (like ops.msm.msm_staged): one compiled sharded window program
+    dispatched asynchronously per window, device-side combine, one fetch.
+    Returns a golden G1."""
+    digits = msm_mod._jit_windows_extract(c)(scalars_std)
+    n_windows = digits.shape[0]
+    dev_results = [sharded_msm_window(mesh, points, digits[w], c=c)
+                   for w in range(n_windows)]
+    stacked = tuple(
+        jnp.concatenate([r[i] for r in dev_results], axis=-1)
+        for i in range(3))
+    final = msm_mod._jit_window_combine("g1", c, n_windows)(stacked)
+    return C.unpack_g1(final)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -172,15 +197,16 @@ def sharded_prove_step(mesh: Mesh, fc_args, witness: jnp.ndarray,
                        ti1: C.Point, logn: int):
     """A representative sharded Groth16 prove step: gate-sharded witness
     evaluation -> replicated iNTT -> term-sharded MSM.  Returns the A-side
-    MSM point; used by __graft_entry__.dryrun_multichip and scaling tests."""
+    MSM point (golden G1); used by __graft_entry__.dryrun_multichip and
+    scaling tests."""
     l_idx, l_coef = fc_args
     evals = sharded_gate_eval(mesh, l_idx, l_coef, witness)
     n = 1 << logn
 
-    def pad_intt(x):
+    @jax.jit
+    def pad_intt_std(x):
         x = jnp.pad(x, ((0, 0), (0, n - x.shape[1])))
-        return ntt_mod.intt(x)
+        return F.from_mont(ntt_mod.intt(x), F.FR)[: params.FR_LIMBS]
 
-    a_coeff = pad_intt(evals)
-    a_std = F.from_mont(a_coeff, F.FR)[: params.FR_LIMBS]
-    return sharded_msm_g1(mesh, ti1, a_std)
+    a_std = pad_intt_std(evals)
+    return sharded_msm_g1(mesh, ti1, a_std, c=4)

@@ -58,15 +58,9 @@ class DeviceVKey:
     ab: GT
 
 
-@functools.lru_cache(maxsize=32)
-def _jit_msm_mont(n: int, group: str, c: int):
-    """MSM where scalars arrive in Montgomery form (converted on device)."""
-    fn = msm_mod.msm_g1 if group == "g1" else msm_mod.msm_g2
-
-    def run(P, S_mont):
-        return fn(P, F.from_mont(S_mont, F.FR)[: params.FR_LIMBS], c=c)
-
-    return jax.jit(run)
+@functools.lru_cache(maxsize=8)
+def _jit_from_mont(nl: int):
+    return jax.jit(lambda S: F.from_mont(S, F.FR)[: params.FR_LIMBS])
 
 
 def _pad_scalars(scalars_mont: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -92,9 +86,8 @@ def _msm(points: C.Point, scalars_mont: jnp.ndarray, group: str,
          c: int = 8) -> "G1 | G2":
     n = _np2(max(points[0].shape[-1], scalars_mont.shape[1]))
     P = _pad_points(points, n, group)
-    S = _pad_scalars(scalars_mont, n)
-    res = _jit_msm_mont(n, group, c)(P, S)
-    return (C.unpack_g1(res) if group == "g1" else C.unpack_g2(res))[0]
+    S = _jit_from_mont(params.FR_LIMBS)(_pad_scalars(scalars_mont, n))
+    return msm_mod.msm_staged(P, S, group=group, c=c)
 
 
 def keygen_device(fc: flat_mod.FlatCircuit, mids: Sequence, ios: Sequence,
