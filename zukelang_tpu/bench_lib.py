@@ -99,7 +99,9 @@ def bench_groth16(log_constraints: int, seed: int = 1, repeats: int = 3):
     crs, vkey = gd.keygen_device(
         fc, mids=list(inst.mids_cols), ios=list(inst.ios_cols),
         rng=Gen(b"bench-keygen"))
-    jax.block_until_ready(crs.ti1)
+    # NB: block_until_ready does not actually block through the axon TPU
+    # tunnel; a device_get of a slice is the reliable barrier.
+    jax.device_get(crs.ti1[0][..., :1])
     t_keygen = time.time() - t0
 
     wm = inst.pack_witness()

@@ -246,7 +246,28 @@ def _to8_host(x: int, m: int) -> np.ndarray:
     return np.array([(x >> (8 * i)) & 0xFF for i in range(m)], dtype=np.uint32)
 
 
+# Selectable multiply backend: "conv" (grouped-conv HLOs) or "pallas"
+# (fused VMEM kernel, ops/pallas_kernels.py).  Switch via env var
+# ZUKELANG_MUL_IMPL or set_mul_impl(); benchmarked per-hardware.
+import os as _os
+
+MUL_IMPL = _os.environ.get("ZUKELANG_MUL_IMPL", "conv")
+
+
+def set_mul_impl(name: str):
+    global MUL_IMPL
+    assert name in ("conv", "pallas")
+    MUL_IMPL = name
+
+
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    if MUL_IMPL == "pallas":
+        from . import pallas_kernels
+        return pallas_kernels.mont_mul_pallas(a, b, spec)
+    return mont_mul_conv(a, b, spec)
+
+
+def mont_mul_conv(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
     """Montgomery multiply a*b*R^-1 mod p via single-shot reduction over
     8-bit limb convolutions.
 
