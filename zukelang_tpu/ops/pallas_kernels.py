@@ -28,6 +28,99 @@ from . import field_jax as F
 MASK16 = 0xFFFF
 
 
+# ---------------------------------------------------------------------------
+# Reusable in-kernel field arithmetic on per-limb value lists
+# ---------------------------------------------------------------------------
+
+def _fq_mul_body(a, b, p_limbs, nprime):
+    """Deferred-carry CIOS on lists of (N,)-lane uint32 limb values."""
+    nl = len(p_limbs)
+    mask = jnp.uint32(MASK16)
+    npr = jnp.uint32(nprime)
+    pl_const = [jnp.uint32(int(x)) for x in p_limbs]
+    zero = jnp.zeros_like(a[0])
+    t = [zero] * (nl + 1)
+    for i in range(nl):
+        ai = a[i]
+        for j in range(nl):
+            prod = ai * b[j]
+            t[j] = t[j] + (prod & mask)
+            t[j + 1] = t[j + 1] + (prod >> 16)
+        m = ((t[0] & mask) * npr) & mask
+        for j in range(nl):
+            prod = m * pl_const[j]
+            t[j] = t[j] + (prod & mask)
+            t[j + 1] = t[j + 1] + (prod >> 16)
+        carry0 = t[0] >> 16
+        t = t[1:] + [zero]
+        t[0] = t[0] + carry0
+    # ripple carry
+    limbs = []
+    c = zero
+    for j in range(nl + 1):
+        v = t[j] + c
+        limbs.append(v & mask)
+        c = v >> 16
+    # conditional subtract p
+    pl_ext = pl_const + [jnp.uint32(0)]
+    borrow = zero
+    diff = []
+    for j in range(nl + 1):
+        d = limbs[j] - pl_ext[j] - borrow
+        borrow = (d >> 31) & jnp.uint32(1)
+        diff.append(d & mask)
+    ge = borrow == 0
+    return [jnp.where(ge, diff[j], limbs[j]) for j in range(nl)]
+
+
+def _fq_add_body(a, b, p_limbs):
+    nl = len(p_limbs)
+    mask = jnp.uint32(MASK16)
+    pl_const = [jnp.uint32(int(x)) for x in p_limbs] + [jnp.uint32(0)]
+    out = []
+    c = jnp.zeros_like(a[0])
+    for j in range(nl):
+        v = a[j] + b[j] + c
+        out.append(v & mask)
+        c = v >> 16
+    out.append(c)
+    borrow = jnp.zeros_like(a[0])
+    diff = []
+    for j in range(nl + 1):
+        d = out[j] - pl_const[j] - borrow
+        borrow = (d >> 31) & jnp.uint32(1)
+        diff.append(d & mask)
+    ge = borrow == 0
+    return [jnp.where(ge, diff[j], out[j]) for j in range(nl)]
+
+
+def _fq_sub_body(a, b, p_limbs):
+    nl = len(p_limbs)
+    mask = jnp.uint32(MASK16)
+    pl_const = [jnp.uint32(int(x)) for x in p_limbs]
+    borrow = jnp.zeros_like(a[0])
+    diff = []
+    for j in range(nl):
+        d = a[j] - b[j] - borrow
+        borrow = (d >> 31) & jnp.uint32(1)
+        diff.append(d & mask)
+    neg = borrow == 1
+    fixed = []
+    c = jnp.zeros_like(a[0])
+    for j in range(nl):
+        v = diff[j] + pl_const[j] + c
+        fixed.append(v & mask)
+        c = v >> 16
+    return [jnp.where(neg, fixed[j], diff[j]) for j in range(nl)]
+
+
+def _fq_is_zero_body(a):
+    acc = a[0]
+    for x in a[1:]:
+        acc = acc | x
+    return acc == 0
+
+
 def _mont_mul_kernel(a_ref, b_ref, o_ref, *, nl, p_limbs, nprime):
     mask = jnp.uint32(MASK16)
     npr = jnp.uint32(nprime)
@@ -114,3 +207,153 @@ def mont_mul_pallas(a: jnp.ndarray, b: jnp.ndarray, spec: F.FieldSpec,
         b = jnp.pad(b, ((0, 0), (0, npad - n)))
     out = _mont_mul_call(nl, npad, block, interpret)(a, b)
     return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Fused Jacobian point kernels (G1 / Fq): whole group law in one VMEM pass
+# ---------------------------------------------------------------------------
+#
+# The MSM inner loops are chains of point_adds; composing them from ~26
+# separate mont_mul launches pays per-launch latency and HBM round-trips
+# for every intermediate.  These kernels evaluate the full add/double
+# formulas (with all special cases, matching ops/curve_jax.py) in VMEM.
+
+def _read(ref, nl):
+    return [ref[j, :] for j in range(nl)]
+
+
+def _select_limbs(cond, a, b):
+    return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+
+
+def _double_body(X, Y, Z, p_limbs, nprime):
+    mul = lambda a, b: _fq_mul_body(a, b, p_limbs, nprime)
+    add = lambda a, b: _fq_add_body(a, b, p_limbs)
+    sub = lambda a, b: _fq_sub_body(a, b, p_limbs)
+    A = mul(X, X)
+    B = mul(Y, Y)
+    C = mul(B, B)
+    t = add(X, B)
+    t = mul(t, t)
+    D = sub(sub(t, A), C)
+    D = add(D, D)
+    E = add(add(A, A), A)
+    Fv = mul(E, E)
+    X3 = sub(Fv, add(D, D))
+    c8 = add(C, C)
+    c8 = add(c8, c8)
+    c8 = add(c8, c8)
+    Y3 = sub(mul(E, sub(D, X3)), c8)
+    YZ = mul(Y, Z)
+    Z3 = add(YZ, YZ)
+    return X3, Y3, Z3
+
+
+def _point_double_kernel(x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref,
+                         *, nl, p_limbs, nprime):
+    X = _read(x_ref, nl)
+    Y = _read(y_ref, nl)
+    Z = _read(z_ref, nl)
+    X3, Y3, Z3 = _double_body(X, Y, Z, p_limbs, nprime)
+    for j in range(nl):
+        ox_ref[j, :] = X3[j]
+        oy_ref[j, :] = Y3[j]
+        oz_ref[j, :] = Z3[j]
+
+
+def _point_add_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
+                      ox_ref, oy_ref, oz_ref, *, nl, p_limbs, nprime):
+    mul = lambda a, b: _fq_mul_body(a, b, p_limbs, nprime)
+    add = lambda a, b: _fq_add_body(a, b, p_limbs)
+    sub = lambda a, b: _fq_sub_body(a, b, p_limbs)
+
+    X1 = _read(x1_ref, nl); Y1 = _read(y1_ref, nl); Z1 = _read(z1_ref, nl)
+    X2 = _read(x2_ref, nl); Y2 = _read(y2_ref, nl); Z2 = _read(z2_ref, nl)
+
+    Z1Z1 = mul(Z1, Z1)
+    Z2Z2 = mul(Z2, Z2)
+    U1 = mul(X1, Z2Z2)
+    U2 = mul(X2, Z1Z1)
+    S1 = mul(mul(Y1, Z2), Z2Z2)
+    S2 = mul(mul(Y2, Z1), Z1Z1)
+    H = sub(U2, U1)
+    r = sub(S2, S1)
+    H2 = add(H, H)
+    I = mul(H2, H2)
+    J = mul(H, I)
+    r2 = add(r, r)
+    V = mul(U1, I)
+    X3 = sub(sub(mul(r2, r2), J), add(V, V))
+    S1J = mul(S1, J)
+    Y3 = sub(mul(r2, sub(V, X3)), add(S1J, S1J))
+    Zs = mul(add(Z1, Z2), add(Z1, Z2))
+    Z3 = mul(sub(sub(Zs, Z1Z1), Z2Z2), H)
+
+    p_inf = _fq_is_zero_body(Z1)
+    q_inf = _fq_is_zero_body(Z2)
+    h_zero = _fq_is_zero_body(H)
+    r_zero = _fq_is_zero_body(r)
+    same = h_zero & r_zero & ~p_inf & ~q_inf
+
+    dX, dY, dZ = _double_body(X1, Y1, Z1, p_limbs, nprime)
+    X3 = _select_limbs(same, dX, X3)
+    Y3 = _select_limbs(same, dY, Y3)
+    Z3 = _select_limbs(same, dZ, Z3)
+    X3 = _select_limbs(q_inf, X1, _select_limbs(p_inf, X2, X3))
+    Y3 = _select_limbs(q_inf, Y1, _select_limbs(p_inf, Y2, Y3))
+    Z3 = _select_limbs(q_inf, Z1, _select_limbs(p_inf, Z2, Z3))
+    for j in range(nl):
+        ox_ref[j, :] = X3[j]
+        oy_ref[j, :] = Y3[j]
+        oz_ref[j, :] = Z3[j]
+
+
+@functools.lru_cache(maxsize=16)
+def _point_call(kind: str, n: int, block: int, interpret: bool):
+    spec = F.FQ
+    nl = spec.nl
+    common = dict(nl=nl, p_limbs=tuple(int(x) for x in spec.p_limbs),
+                  nprime=spec.nprime)
+    n_in = 3 if kind == "double" else 6
+    kernel = functools.partial(
+        _point_double_kernel if kind == "double" else _point_add_kernel,
+        **common)
+    bs = pl.BlockSpec((nl, block), lambda i: (0, i),
+                      memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((nl, n), jnp.uint32)
+                        for _ in range(3)),
+        grid=(n // block,),
+        in_specs=[bs] * n_in,
+        out_specs=(bs,) * 3,
+        interpret=interpret,
+    )
+
+
+def _pad_to(x, npad):
+    return jnp.pad(x, ((0, 0), (0, npad - x.shape[1]))) if x.shape[1] != npad else x
+
+
+def point_add_pallas(p, q, block: int = 256, interpret: bool = None):
+    """Fused G1 Jacobian add; drop-in for curve_jax.point_add on Fq."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n = p[0].shape[1]
+    blk = min(block, 1 << max(7, (n - 1).bit_length()))
+    npad = -(-n // blk) * blk
+    args = [_pad_to(x, npad) for x in (*p, *q)]
+    # padded lanes are (0,0,0) = infinity for both operands -> stays infinity
+    out = _point_call("add", npad, blk, interpret)(*args)
+    return tuple(o[:, :n] for o in out)
+
+
+def point_double_pallas(p, block: int = 256, interpret: bool = None):
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n = p[0].shape[1]
+    blk = min(block, 1 << max(7, (n - 1).bit_length()))
+    npad = -(-n // blk) * blk
+    args = [_pad_to(x, npad) for x in p]
+    out = _point_call("double", npad, blk, interpret)(*args)
+    return tuple(o[:, :n] for o in out)
