@@ -83,22 +83,121 @@ def _hs_total(points: C.Point, ops: C.FieldOps) -> C.Point:
     return X[..., -1:], Y[..., -1:], Z[..., -1:]
 
 
-def _bucket_sums(points: C.Point, digits: jnp.ndarray, n_buckets: int,
-                 ops: C.FieldOps, infinity) -> C.Point:
-    """Per-bucket sums for one window: sort by digit, segmented scan,
-    scatter segment tails into the bucket array."""
-    order = jnp.argsort(digits)
-    d_sorted = digits[order]
-    pts = tuple(x[..., order] for x in points)
-    sX, sY, sZ = _hs_segmented_scan(pts, d_sorted, ops)
+def _scatter_tails(scanned: C.Point, d_sorted: jnp.ndarray, n_buckets: int,
+                   infinity) -> C.Point:
+    """Pick the last (inclusive-scan) element of each segment into buckets."""
     is_tail = jnp.concatenate(
         [d_sorted[:-1] != d_sorted[1:], jnp.array([True])])
     tgt = jnp.where(is_tail, d_sorted, n_buckets)  # dummy slot for non-tails
     bX, bY, bZ = infinity(n_buckets + 1)
+    sX, sY, sZ = scanned
     bX = bX.at[..., tgt].set(sX)
     bY = bY.at[..., tgt].set(sY)
     bZ = bZ.at[..., tgt].set(sZ)
     return bX[..., :n_buckets], bY[..., :n_buckets], bZ[..., :n_buckets]
+
+
+def _bucket_sums(points: C.Point, digits: jnp.ndarray, n_buckets: int,
+                 ops: C.FieldOps, infinity) -> C.Point:
+    """Per-bucket sums for one window: sort by digit, segmented scan,
+    scatter segment tails into the bucket array.  Log-depth HS variant:
+    O(N log N) point-add lanes."""
+    order = jnp.argsort(digits)
+    d_sorted = digits[order]
+    pts = tuple(x[..., order] for x in points)
+    scanned = _hs_segmented_scan(pts, d_sorted, ops)
+    return _scatter_tails(scanned, d_sorted, n_buckets, infinity)
+
+
+def _bucket_sums_chunked(points: C.Point, digits: jnp.ndarray,
+                         n_buckets: int, ops: C.FieldOps, infinity,
+                         K: int = 32) -> C.Point:
+    """Work-efficient bucket accumulation: sort, then a two-phase segmented
+    scan — K sequential steps over N/K wide lanes (work O(N)), a log(N/K)
+    cross-chunk carry scan, and one full-width carry application.
+
+    ~(K + log(N/K) + 1) batched point-adds per window instead of the HS
+    variant's log(N) *full-width* adds; at 2^20 that is ~6x less add work.
+    """
+    n = digits.shape[0]
+    if n % K != 0 or n // K < 2:
+        return _bucket_sums(points, digits, n_buckets, ops, infinity)
+    M = n // K
+    order = jnp.argsort(digits)
+    d_sorted = digits[order]
+    pts = tuple(x[..., order] for x in points)
+
+    # column-chunk view: element t of chunk m is sorted[m*K + t]
+    d2 = d_sorted.reshape(M, K)
+
+    def as2(x):
+        return x.reshape(x.shape[:-1] + (M, K))
+
+    p2 = tuple(as2(x) for x in pts)
+
+    # phase 1: sequential in-chunk segmented scan (M lanes per step)
+    def step(t, st):
+        accX, accY, accZ, outX, outY, outZ = st
+        cur = tuple(jax.lax.dynamic_index_in_dim(x, t, x.ndim - 1,
+                                                 keepdims=False) for x in p2)
+        same = jax.lax.dynamic_index_in_dim(d2, t, 1, keepdims=False) == \
+            jax.lax.dynamic_index_in_dim(d2, t - 1, 1, keepdims=False)
+        aX, aY, aZ = C.point_add((accX, accY, accZ), cur, ops)
+        accX = ops.select(same, aX, cur[0])
+        accY = ops.select(same, aY, cur[1])
+        accZ = ops.select(same, aZ, cur[2])
+        outX = jax.lax.dynamic_update_index_in_dim(
+            outX, accX, t, outX.ndim - 1)
+        outY = jax.lax.dynamic_update_index_in_dim(
+            outY, accY, t, outY.ndim - 1)
+        outZ = jax.lax.dynamic_update_index_in_dim(
+            outZ, accZ, t, outZ.ndim - 1)
+        return accX, accY, accZ, outX, outY, outZ
+
+    out0 = tuple(jnp.zeros_like(x) for x in p2)
+    first = tuple(x[..., 0] for x in p2)
+    out0 = tuple(
+        jax.lax.dynamic_update_index_in_dim(o, f, 0, o.ndim - 1)
+        for o, f in zip(out0, first))
+    accX, accY, accZ, outX, outY, outZ = jax.lax.fori_loop(
+        1, K, step, (*first, *out0))
+
+    # phase 2: cross-chunk carries — HS scan over the M chunk-end partials
+    # segmented by the chunk's LAST digit (a chunk with an internal
+    # boundary has first_seg < last_seg, so runs are exactly segment spans)
+    last_seg = d2[:, K - 1]
+    carX, carY, carZ = _hs_segmented_scan((accX, accY, accZ), last_seg, ops)
+    # carry_in[m] = scanned partial of chunk m-1 when its last digit equals
+    # chunk m's first digit; else infinity
+    first_seg = d2[:, 0]
+    inf_m = (jnp.zeros_like(carX[..., :1]).repeat(M, axis=-1),
+             jnp.zeros_like(carY[..., :1]).repeat(M, axis=-1),
+             jnp.zeros_like(carZ[..., :1]).repeat(M, axis=-1))
+
+    def shift1(x):
+        return jnp.concatenate(
+            [jnp.zeros_like(x[..., :1]), x[..., :-1]], axis=-1)
+
+    match = jnp.concatenate(
+        [jnp.array([False]), last_seg[:-1] == first_seg[1:]])
+    cinX = ops.select(match, shift1(carX), inf_m[0])
+    cinY = ops.select(match, shift1(carY), inf_m[1])
+    cinZ = ops.select(match, shift1(carZ), inf_m[2])
+    # NB: infinity must be Z == 0; zeroed X/Y/Z arrays satisfy that.
+
+    # phase 3: apply carries to each chunk's first-segment prefix
+    prefix_mask = (d2 == first_seg[:, None]).reshape(n)
+    scan_flat = tuple(x.reshape(x.shape[:-2] + (n,))
+                      for x in (outX, outY, outZ))
+    carry_full = tuple(
+        jnp.repeat(x[..., :, None], K, axis=-1).reshape(x.shape[:-1] + (n,))
+        for x in (cinX, cinY, cinZ))
+    fX, fY, fZ = C.point_add(scan_flat, carry_full, ops)
+    sX = ops.select(prefix_mask, fX, scan_flat[0])
+    sY = ops.select(prefix_mask, fY, scan_flat[1])
+    sZ = ops.select(prefix_mask, fZ, scan_flat[2])
+
+    return _scatter_tails((sX, sY, sZ), d_sorted, n_buckets, infinity)
 
 
 def _weighted_bucket_reduce(buckets: C.Point, ops: C.FieldOps,
@@ -171,13 +270,14 @@ def msm_g2(points: C.Point, scalars_std: jnp.ndarray, c: int = 8) -> C.Point:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=32)
-def _jit_window(group: str, c: int):
+def _jit_window(group: str, c: int, chunked: bool = True):
     ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
     infinity = C.infinity_g1 if group == "g1" else C.infinity_g2
+    bucket_fn = _bucket_sums_chunked if chunked else _bucket_sums
 
     def run(points, dig):
         return _weighted_bucket_reduce(
-            _bucket_sums(points, dig, 1 << c, ops, infinity), ops, infinity)
+            bucket_fn(points, dig, 1 << c, ops, infinity), ops, infinity)
 
     return jax.jit(run)
 
