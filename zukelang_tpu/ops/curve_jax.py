@@ -113,9 +113,12 @@ def _mul_many(ops: FieldOps, xs, ys):
 def point_double(p: Point, ops: FieldOps) -> Point:
     """dbl-2009-l for a = 0; Y == 0 or Z == 0 correctly yields Z3 == 0.
     4 batched multiply rounds (or one fused Pallas kernel on TPU for G1)."""
-    if ops is FQ_OPS and F._use_pallas():
+    if F._use_pallas():
         from . import pallas_kernels as PK
-        return PK.point_double_pallas(p)
+        if ops is FQ_OPS:
+            return PK.point_double_pallas(p)
+        if ops is FQ2_OPS:
+            return PK.point_double_pallas_g2(p)
     X, Y, Z = p
     A, B = _mul_many(ops, [X, Y], [X, Y])
     C, t = _mul_many(ops, [B, ops.add(X, B)], [B, ops.add(X, B)])
@@ -137,9 +140,12 @@ def point_add(p: Point, q: Point, ops: FieldOps) -> Point:
     """add-2007-bl with full special-case selection; 7 batched multiply
     rounds (+4 in the shared doubling path for the degenerate case), or
     one fused Pallas kernel on TPU for G1."""
-    if ops is FQ_OPS and F._use_pallas():
+    if F._use_pallas():
         from . import pallas_kernels as PK
-        return PK.point_add_pallas(p, q)
+        if ops is FQ_OPS:
+            return PK.point_add_pallas(p, q)
+        if ops is FQ2_OPS:
+            return PK.point_add_pallas_g2(p, q)
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     Z1Z1, Z2Z2 = _mul_many(ops, [Z1, Z2], [Z1, Z2])

@@ -357,3 +357,185 @@ def point_double_pallas(p, block: int = 256, interpret: bool = None):
     args = [_pad_to(x, npad) for x in p]
     out = _point_call("double", npad, blk, interpret)(*args)
     return tuple(o[:, :n] for o in out)
+
+
+# ---------------------------------------------------------------------------
+# Fused Jacobian point kernels for G2 (coordinates in Fq2)
+# ---------------------------------------------------------------------------
+#
+# Same group law over Fq2 = Fq[u]/(u^2+1); each coordinate ref carries the
+# two Fq components stacked on the limb axis: rows [0, nl) = c0,
+# rows [nl, 2nl) = c1.
+
+def _fq2_mul_body(a, b, p_limbs, nprime):
+    """Karatsuba: (a0+a1 u)(b0+b1 u); a = (a0, a1) lists of limb rows."""
+    a0, a1 = a
+    b0, b1 = b
+    v0 = _fq_mul_body(a0, b0, p_limbs, nprime)
+    v1 = _fq_mul_body(a1, b1, p_limbs, nprime)
+    t = _fq_mul_body(_fq_add_body(a0, a1, p_limbs),
+                     _fq_add_body(b0, b1, p_limbs), p_limbs, nprime)
+    c0 = _fq_sub_body(v0, v1, p_limbs)
+    c1 = _fq_sub_body(_fq_sub_body(t, v0, p_limbs), v1, p_limbs)
+    return c0, c1
+
+
+def _fq2_add_body(a, b, p_limbs):
+    return (_fq_add_body(a[0], b[0], p_limbs), _fq_add_body(a[1], b[1], p_limbs))
+
+
+def _fq2_sub_body(a, b, p_limbs):
+    return (_fq_sub_body(a[0], b[0], p_limbs), _fq_sub_body(a[1], b[1], p_limbs))
+
+
+def _fq2_is_zero_body(a):
+    return _fq_is_zero_body(a[0]) & _fq_is_zero_body(a[1])
+
+
+def _read2(ref, nl):
+    return ([ref[j, :] for j in range(nl)],
+            [ref[nl + j, :] for j in range(nl)])
+
+
+def _sel2(cond, a, b):
+    return (_select_limbs(cond, a[0], b[0]), _select_limbs(cond, a[1], b[1]))
+
+
+def _double_body2(X, Y, Z, p_limbs, nprime):
+    mul = lambda a, b: _fq2_mul_body(a, b, p_limbs, nprime)
+    add = lambda a, b: _fq2_add_body(a, b, p_limbs)
+    sub = lambda a, b: _fq2_sub_body(a, b, p_limbs)
+    A = mul(X, X)
+    B = mul(Y, Y)
+    Cc = mul(B, B)
+    t = add(X, B)
+    t = mul(t, t)
+    D = sub(sub(t, A), Cc)
+    D = add(D, D)
+    E = add(add(A, A), A)
+    Fv = mul(E, E)
+    X3 = sub(Fv, add(D, D))
+    c8 = add(Cc, Cc)
+    c8 = add(c8, c8)
+    c8 = add(c8, c8)
+    Y3 = sub(mul(E, sub(D, X3)), c8)
+    YZ = mul(Y, Z)
+    Z3 = add(YZ, YZ)
+    return X3, Y3, Z3
+
+
+def _write2(ref, v, nl):
+    for j in range(nl):
+        ref[j, :] = v[0][j]
+        ref[nl + j, :] = v[1][j]
+
+
+def _point_double_kernel2(x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref,
+                          *, nl, p_limbs, nprime):
+    X = _read2(x_ref, nl)
+    Y = _read2(y_ref, nl)
+    Z = _read2(z_ref, nl)
+    X3, Y3, Z3 = _double_body2(X, Y, Z, p_limbs, nprime)
+    _write2(ox_ref, X3, nl)
+    _write2(oy_ref, Y3, nl)
+    _write2(oz_ref, Z3, nl)
+
+
+def _point_add_kernel2(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
+                       ox_ref, oy_ref, oz_ref, *, nl, p_limbs, nprime):
+    mul = lambda a, b: _fq2_mul_body(a, b, p_limbs, nprime)
+    add = lambda a, b: _fq2_add_body(a, b, p_limbs)
+    sub = lambda a, b: _fq2_sub_body(a, b, p_limbs)
+
+    X1 = _read2(x1_ref, nl); Y1 = _read2(y1_ref, nl); Z1 = _read2(z1_ref, nl)
+    X2 = _read2(x2_ref, nl); Y2 = _read2(y2_ref, nl); Z2 = _read2(z2_ref, nl)
+
+    Z1Z1 = mul(Z1, Z1)
+    Z2Z2 = mul(Z2, Z2)
+    U1 = mul(X1, Z2Z2)
+    U2 = mul(X2, Z1Z1)
+    S1 = mul(mul(Y1, Z2), Z2Z2)
+    S2 = mul(mul(Y2, Z1), Z1Z1)
+    H = sub(U2, U1)
+    r = sub(S2, S1)
+    H2 = add(H, H)
+    I = mul(H2, H2)
+    J = mul(H, I)
+    r2 = add(r, r)
+    V = mul(U1, I)
+    X3 = sub(sub(mul(r2, r2), J), add(V, V))
+    S1J = mul(S1, J)
+    Y3 = sub(mul(r2, sub(V, X3)), add(S1J, S1J))
+    Zs = mul(add(Z1, Z2), add(Z1, Z2))
+    Z3 = mul(sub(sub(Zs, Z1Z1), Z2Z2), H)
+
+    p_inf = _fq2_is_zero_body(Z1)
+    q_inf = _fq2_is_zero_body(Z2)
+    same = (_fq2_is_zero_body(H) & _fq2_is_zero_body(r)
+            & ~p_inf & ~q_inf)
+
+    dX, dY, dZ = _double_body2(X1, Y1, Z1, p_limbs, nprime)
+    X3 = _sel2(same, dX, X3)
+    Y3 = _sel2(same, dY, Y3)
+    Z3 = _sel2(same, dZ, Z3)
+    X3 = _sel2(q_inf, X1, _sel2(p_inf, X2, X3))
+    Y3 = _sel2(q_inf, Y1, _sel2(p_inf, Y2, Y3))
+    Z3 = _sel2(q_inf, Z1, _sel2(p_inf, Z2, Z3))
+    _write2(ox_ref, X3, nl)
+    _write2(oy_ref, Y3, nl)
+    _write2(oz_ref, Z3, nl)
+
+
+@functools.lru_cache(maxsize=16)
+def _point_call2(kind: str, n: int, block: int, interpret: bool):
+    spec = F.FQ
+    nl = spec.nl
+    common = dict(nl=nl, p_limbs=tuple(int(x) for x in spec.p_limbs),
+                  nprime=spec.nprime)
+    n_in = 3 if kind == "double" else 6
+    kernel = functools.partial(
+        _point_double_kernel2 if kind == "double" else _point_add_kernel2,
+        **common)
+    bs = pl.BlockSpec((2 * nl, block), lambda i: (0, i),
+                      memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((2 * nl, n), jnp.uint32)
+                        for _ in range(3)),
+        grid=(n // block,),
+        in_specs=[bs] * n_in,
+        out_specs=(bs,) * 3,
+        interpret=interpret,
+    )
+
+
+def _flat2(x):
+    """(2, nl, N) Fq2 coordinate -> (2nl, N) stacked rows."""
+    return x.reshape(2 * x.shape[1], x.shape[2])
+
+
+def _unflat2(x):
+    return x.reshape(2, x.shape[0] // 2, x.shape[1])
+
+
+def point_add_pallas_g2(p, q, block: int = 256, interpret: bool = None):
+    """Fused G2 Jacobian add; drop-in for curve_jax.point_add on Fq2."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n = p[0].shape[-1]
+    blk = min(block, 1 << max(7, (n - 1).bit_length()))
+    npad = -(-n // blk) * blk
+    args = [_pad_to(_flat2(x), npad) for x in (*p, *q)]
+    out = _point_call2("add", npad, blk, interpret)(*args)
+    return tuple(_unflat2(o)[..., :n] for o in out)
+
+
+def point_double_pallas_g2(p, block: int = 256, interpret: bool = None):
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n = p[0].shape[-1]
+    blk = min(block, 1 << max(7, (n - 1).bit_length()))
+    npad = -(-n // blk) * blk
+    args = [_pad_to(_flat2(x), npad) for x in p]
+    out = _point_call2("double", npad, blk, interpret)(*args)
+    return tuple(_unflat2(o)[..., :n] for o in out)

@@ -85,13 +85,19 @@ def sharded_msm_window(mesh: Mesh, points: C.Point, digits: jnp.ndarray,
 
 
 def sharded_msm_g1(mesh: Mesh, points: C.Point, scalars_std: jnp.ndarray,
-                   c: int = 8):
+                   c: int = 8, max_windows: int = None):
     """Full MSM with terms sharded across the mesh.  Host-staged over
     windows (like ops.msm.msm_staged): one compiled sharded window program
     dispatched asynchronously per window, device-side combine, one fetch.
-    Returns a golden G1."""
+    Returns a golden G1.
+
+    `max_windows` truncates to the low windows — only for dryruns/smoke
+    tests on hosts too slow for the full ladder (result is then the MSM of
+    the scalars' low c*max_windows bits)."""
     digits = msm_mod._jit_windows_extract(c)(scalars_std)
     n_windows = digits.shape[0]
+    if max_windows is not None:
+        n_windows = min(n_windows, max_windows)
     dev_results = [sharded_msm_window(mesh, points, digits[w], c=c)
                    for w in range(n_windows)]
     stacked = tuple(
@@ -193,20 +199,37 @@ def sharded_gate_eval(mesh: Mesh, idx: jnp.ndarray, coef: jnp.ndarray,
 # One fully-sharded prove step (dryrun / scaling target)
 # ---------------------------------------------------------------------------
 
+def sharded_intt(mesh: Mesh, x: jnp.ndarray, log1: int, log2: int) -> jnp.ndarray:
+    """Distributed inverse NTT of a (nl, N) coefficient batch via the
+    four-step scheme; output in natural coefficient order (the four-step
+    output y[i2, i1] = X[i1 + N1*i2] flattens row-major to index order)."""
+    nl, n = x.shape
+    y = sharded_ntt(mesh, x.reshape(nl, 1 << log1, 1 << log2), log1, log2,
+                    inverse=True)
+    return y.reshape(nl, n)
+
+
 def sharded_prove_step(mesh: Mesh, fc_args, witness: jnp.ndarray,
-                       ti1: C.Point, logn: int):
+                       ti1: C.Point, logn: int, max_windows: int = None):
     """A representative sharded Groth16 prove step: gate-sharded witness
-    evaluation -> replicated iNTT -> term-sharded MSM.  Returns the A-side
-    MSM point (golden G1); used by __graft_entry__.dryrun_multichip and
-    scaling tests."""
+    evaluation -> four-step all_to_all iNTT -> term-sharded MSM with
+    all_gather reduction.  Returns the A-side MSM point (golden G1); used
+    by __graft_entry__.dryrun_multichip and scaling tests."""
     l_idx, l_coef = fc_args
     evals = sharded_gate_eval(mesh, l_idx, l_coef, witness)
     n = 1 << logn
 
     @jax.jit
-    def pad_intt_std(x):
-        x = jnp.pad(x, ((0, 0), (0, n - x.shape[1])))
-        return F.from_mont(ntt_mod.intt(x), F.FR)[: params.FR_LIMBS]
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, n - x.shape[1])))
 
-    a_std = pad_intt_std(evals)
-    return sharded_msm_g1(mesh, ti1, a_std, c=4)
+    log2_ = max(1, logn // 2)
+    log1_ = logn - log2_
+    a_coeff = sharded_intt(mesh, pad(evals), log1_, log2_)
+
+    @jax.jit
+    def to_std(x):
+        return F.from_mont(x, F.FR)[: params.FR_LIMBS]
+
+    a_std = to_std(a_coeff)
+    return sharded_msm_g1(mesh, ti1, a_std, c=8, max_windows=max_windows)
