@@ -166,13 +166,6 @@ def sharded_ntt(mesh: Mesh, x: jnp.ndarray, log1: int, log2: int,
     return out
 
 
-def ntt_reference_order(x_cols: np.ndarray, log1: int, log2: int) -> np.ndarray:
-    """Helper for tests: the four-step output y[:, i2, i1] equals the plain
-    NTT evaluated at index i2*N1 + i1?  No — it equals eval at
-    i1 + N1*i2 ... see test for the exact mapping."""
-    raise NotImplementedError
-
-
 # ---------------------------------------------------------------------------
 # Gate-sharded witness/constraint evaluation
 # ---------------------------------------------------------------------------
@@ -232,4 +225,4 @@ def sharded_prove_step(mesh: Mesh, fc_args, witness: jnp.ndarray,
         return F.from_mont(x, F.FR)[: params.FR_LIMBS]
 
     a_std = to_std(a_coeff)
-    return sharded_msm_g1(mesh, ti1, a_std, c=8, max_windows=max_windows)
+    return sharded_msm_g1(mesh, ti1, a_std, c=4, max_windows=max_windows)
