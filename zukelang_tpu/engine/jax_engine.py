@@ -44,12 +44,6 @@ def _next_pow2(n: int, floor: int = 16) -> int:
     return 1 << (n - 1).bit_length()
 
 
-@functools.lru_cache(maxsize=64)
-def _jit_msm(group: str, c: int):
-    fn = msm_mod.msm_g1 if group == "g1" else msm_mod.msm_g2
-    return jax.jit(functools.partial(fn, c=c))
-
-
 @functools.lru_cache(maxsize=8)
 def _jit_fixed_base(group: str):
     return jax.jit(functools.partial(msm_mod.fixed_base_mul, group=group))

@@ -159,45 +159,6 @@ def _carry_exact(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([out, out_top[None]], axis=0)
 
 
-def _conv_acc(a: jnp.ndarray, b_limbs, out_len: int, trunc: int = None) -> jnp.ndarray:
-    """Deferred-carry schoolbook product accumulator.
-
-    a: (na, N) array; b_limbs: (nb, N) array or host uint32 vector.
-    Returns (out_len, N) uint32 accumulators acc[k] ~ sum_{i+j=k} a_i*b_j
-    split into 16-bit halves (each accumulator < ~2^21, exact).
-    `trunc` keeps only product terms with i+j < trunc (for mod-R steps).
-    """
-    na = a.shape[0] if trunc is None else min(a.shape[0], trunc)
-    if isinstance(b_limbs, np.ndarray):
-        bv = jnp.asarray(b_limbs.astype(np.uint32)[:, None])
-        bv = jnp.broadcast_to(bv, (bv.shape[0], a.shape[1]))
-    else:
-        bv = b_limbs
-    nb = bv.shape[0]
-    n = a.shape[1]
-    mask = jnp.uint32(MASK)
-    zrow = jnp.zeros((1, n), dtype=jnp.uint32)
-
-    # Accumulate via a fori_loop whose body touches one (nb+1, N) window at
-    # dynamic offset i — keeps the traced graph ~10 ops regardless of limb
-    # count, which is what makes composed curve formulas compilable.
-    acc0 = jnp.zeros((na + nb + 1, n), dtype=jnp.uint32)
-
-    def body(i, acc):
-        ai = jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
-        p = ai[None, :] * bv
-        contrib = (jnp.concatenate([p & mask, zrow], axis=0)
-                   + jnp.concatenate([zrow, p >> BITS], axis=0))
-        window = jax.lax.dynamic_slice(acc, (i, 0), (nb + 1, n))
-        return jax.lax.dynamic_update_slice(acc, window + contrib, (i, 0))
-
-    acc = jax.lax.fori_loop(0, na, body, acc0)
-    if acc.shape[0] < out_len:
-        acc = jnp.concatenate(
-            [acc, jnp.zeros((out_len - acc.shape[0], n), jnp.uint32)], axis=0)
-    return acc[:out_len]
-
-
 def _to8(a: jnp.ndarray) -> jnp.ndarray:
     """(m, N) 16-bit limbs -> (2m, N) 8-bit limbs (little-endian)."""
     lo = a & jnp.uint32(0xFF)
