@@ -7,6 +7,10 @@ multichip path; bench.py uses the real chip).
 NOTE: this image boots JAX with the axon TPU-tunnel plugin and forces
 `jax_platforms=axon,cpu` from sitecustomize, ignoring the JAX_PLATFORMS
 env var — so the CPU override must go through jax.config after import.
+Additionally, the plugin's registration contacts the (single-client) TPU
+tunnel at interpreter startup and BLOCKS if another process holds it; when
+running tests while a TPU job is active, disable the plugin entirely:
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/ -q
 """
 
 import os

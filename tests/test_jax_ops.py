@@ -150,3 +150,12 @@ def test_fixed_base_small():
     S = F.pack(scs, F.FR)
     out = jax.jit(lambda s: msm.fixed_base_mul(s, "g1"))(S)
     assert C.unpack_g1(out) == [G1.generator() * Fr(s) for s in scs]
+
+
+def test_mont_mul_cios_variant():
+    # the fori-loop CIOS fallback must agree with the default path
+    spec = F.FQ
+    xs = [random.randrange(spec.p) for _ in range(32)] + [0, 1, spec.p - 1]
+    a = F.pack_mont(xs, spec)
+    got = F.unpack_mont(jax.jit(lambda x: F.mont_mul_cios(x, x, spec))(a), spec)
+    assert got == [(x * x) % spec.p for x in xs]
