@@ -243,3 +243,46 @@ def verify(public: Dict, vkey: DeviceVKey, proof) -> bool:
                  [public[k] for k in io_sorted])
     return (pairing(proof.a, proof.b)
             == vkey.ab + pairing(lio, vkey.gm) + pairing(proof.c, vkey.d))
+
+
+# ---------------------------------------------------------------------------
+# CRS checkpointing (SURVEY.md section 5: native array checkpoints for large
+# CRS; the JSON schema in zukelang_tpu.serialize covers the small/interop
+# case, this covers multi-GB proving keys)
+# ---------------------------------------------------------------------------
+
+def save_crs(path: str, crs: DeviceCRS) -> None:
+    """Write the proving key as a compressed .npz of limb arrays."""
+    arrays = {}
+    for name in ("ti1", "ti2", "ltd_mid", "tiztd"):
+        pt = getattr(crs, name)
+        for i, coord in enumerate("xyz"):
+            arrays[f"{name}_{coord}"] = np.asarray(pt[i])
+    arrays["mids_idx"] = crs.mids_idx
+    arrays["n"] = np.array([crs.n])
+    for name in ("alpha_g1", "beta_g1", "delta_g1"):
+        arrays[name] = np.frombuffer(
+            getattr(crs, name).to_compressed_bytes(), dtype=np.uint8)
+    from ..golden.curve import G2 as _G2
+    for name in ("beta_g2", "delta_g2"):
+        arrays[name] = np.frombuffer(
+            getattr(crs, name).to_compressed_bytes(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_crs(path: str) -> DeviceCRS:
+    from ..golden.curve import G1 as _G1, G2 as _G2
+    z = np.load(path)
+
+    def pt(name):
+        return tuple(jnp.asarray(z[f"{name}_{c}"]) for c in "xyz")
+
+    return DeviceCRS(
+        alpha_g1=_G1.of_compressed_bytes(z["alpha_g1"].tobytes()),
+        beta_g1=_G1.of_compressed_bytes(z["beta_g1"].tobytes()),
+        beta_g2=_G2.of_compressed_bytes(z["beta_g2"].tobytes()),
+        delta_g1=_G1.of_compressed_bytes(z["delta_g1"].tobytes()),
+        delta_g2=_G2.of_compressed_bytes(z["delta_g2"].tobytes()),
+        ti1=pt("ti1"), ti2=pt("ti2"), ltd_mid=pt("ltd_mid"),
+        tiztd=pt("tiztd"),
+        mids_idx=z["mids_idx"], n=int(z["n"][0]))
