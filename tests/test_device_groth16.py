@@ -25,8 +25,9 @@ PROVE_SCALARS = [Fr(77), Fr(88)]
 
 
 @pytest.mark.slow
-def test_device_prove_matches_golden():
+def test_device_prove_matches_golden(monkeypatch):
     from zukelang_tpu.protocols import groth16_device as gd
+    monkeypatch.setattr(gd, "DEFAULT_MSM_WINDOW", 4)
     c, q, sol = _instance()
     proto = Groth16()
     pk, vk = proto.keygen(InjectedRng(KEY_SCALARS), c.circuit, q)

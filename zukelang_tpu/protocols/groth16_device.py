@@ -82,8 +82,15 @@ def _np2(n: int) -> int:
     return 1 << max(4, (n - 1).bit_length())
 
 
+# MSM window width; CPU test harnesses drop this to 4 (XLA:CPU compiles
+# the 2^c-bucket window program too slowly at 8).
+DEFAULT_MSM_WINDOW = 8
+
+
 def _msm(points: C.Point, scalars_mont: jnp.ndarray, group: str,
-         c: int = 8) -> "G1 | G2":
+         c: int = None) -> "G1 | G2":
+    if c is None:
+        c = DEFAULT_MSM_WINDOW
     n = _np2(max(points[0].shape[-1], scalars_mont.shape[1]))
     P = _pad_points(points, n, group)
     S = _jit_from_mont(params.FR_LIMBS)(_pad_scalars(scalars_mont, n))
