@@ -132,6 +132,75 @@ def test_msm_bucket_pipeline_one_window():
     assert C.unpack_g1(red)[0] == G1.dot(pts, [Fr(s) for s in scs])
 
 
+@pytest.mark.parametrize("pattern", ["random", "all_same", "distinct",
+                                     "long_runs"])
+def test_bucket_sums_chunked_tail_carries(pattern):
+    """The work-efficient bucket accumulation (chunked segmented scan +
+    tail-only carry application) against per-bucket golden sums, with digit
+    patterns chosen to stress segments spanning chunk boundaries."""
+    g = G1.generator()
+    N, K, B = 64, 8, 16
+    pts = [g * random.randrange(1, params.R) for _ in range(N - 1)] + [G1.zero()]
+    if pattern == "random":
+        scs = [random.randrange(B) for _ in range(N)]
+    elif pattern == "all_same":
+        scs = [7] * N
+    elif pattern == "distinct":
+        scs = list(range(16)) * 4  # every bucket exactly 4x
+    else:  # long_runs: segments of 24/24/16 crossing several 8-wide chunks
+        scs = [3] * 24 + [5] * 24 + [11] * 16
+    P = C.pack_g1(pts)
+    digits = jnp.array(scs, dtype=jnp.int32)
+    buckets = jax.jit(lambda P, d: msm._bucket_sums_chunked(
+        P, d, B, C.FQ_OPS, C.infinity_g1, K=K))(P, digits)
+    got = C.unpack_g1(buckets)
+    exp = [G1.sum([p for p, s in zip(pts, scs) if s == b]) for b in range(B)]
+    assert got == exp
+
+
+def test_weighted_bucket_reduce_chunked():
+    g = G1.generator()
+    B = 32
+    bpts = [g * random.randrange(1, params.R) for _ in range(B - 2)] + [
+        G1.zero(), G1.zero()]
+    random.shuffle(bpts)
+    buckets = C.pack_g1(bpts)
+    red = jax.jit(lambda b: msm._weighted_bucket_reduce(
+        b, C.FQ_OPS, C.infinity_g1, K=8))(buckets)
+    exp = G1.dot(bpts, [Fr(b) for b in range(B)])
+    assert C.unpack_g1(red)[0] == exp
+
+
+@pytest.mark.parametrize("c", [5, 12, 16])
+def test_scalars_to_windows_arbitrary_width(c):
+    scs = [0, 1, params.R - 1] + [random.randrange(params.R) for _ in range(5)]
+    S = F.pack(scs, F.FR)
+    digits = np.asarray(msm._scalars_to_windows(S, c))
+    n_windows = -(-params.FR_LIMBS * 16 // c)
+    assert digits.shape == (n_windows, len(scs))
+    for j, s in enumerate(scs):
+        for w in range(n_windows):
+            assert digits[w, j] == (s >> (w * c)) & ((1 << c) - 1)
+
+
+def test_auto_window_monotone():
+    cs = [msm.auto_window(1 << k) for k in range(4, 22)]
+    assert all(4 <= c <= 16 for c in cs)
+    assert all(a <= b for a, b in zip(cs, cs[1:]))
+    assert msm.auto_window(1 << 20) >= 14
+
+
+@pytest.mark.slow
+def test_msm_staged_nondividing_window():
+    g = G1.generator()
+    N = 16
+    pts = [g * random.randrange(1, params.R) for _ in range(N)]
+    scs = [random.randrange(params.R) for _ in range(N)]
+    P, S = C.pack_g1(pts), F.pack(scs, F.FR)
+    got = msm.msm_staged(P, S, group="g1", c=5)
+    assert got == G1.dot(pts, [Fr(s) for s in scs])
+
+
 @pytest.mark.slow
 def test_full_msm_small_window():
     # c=4 keeps bucket arrays tiny so XLA:CPU can cope

@@ -7,7 +7,7 @@ ZK program (frontend syntax).
 
 Examples:
     python -m zukelang_tpu prove prog.py --input input=5 --proof out.json
-    python -m zukelang_tpu verify prog.py --proof out.json
+    python -m zukelang_tpu verify out.json
     python -m zukelang_tpu bench --log-constraints 14
 """
 
@@ -64,12 +64,11 @@ def cmd_prove(args):
     res = run_pipeline(e, proto, seed=args.seed, domain=args.domain,
                        inputs_values=inputs)
     assert res.verified
-    to_json = (S.groth16_proof_to_json if args.protocol == "groth16"
-               else S.pinocchio_proof_to_json)
     doc = {
         "protocol": args.protocol,
         "domain": args.domain,
-        "proof": to_json(res.proof),
+        "proof": S.PROOF_TO_JSON[args.protocol](res.proof),
+        "vkey": S.VKEY_TO_JSON[args.protocol](res.vkey),
         "public": S.var_map_to_json(res.public, S.fr_to_json),
         "output": repr(res.output),
     }
@@ -77,6 +76,26 @@ def cmd_prove(args):
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"proof written to {out} (verified: {res.verified})")
+
+
+def cmd_verify(args):
+    """Standalone verification from a proof document: the vkey, proof and
+    public bindings all travel in the JSON written by `prove` (reference
+    schema, serialize.py), so no recompilation or trusted setup rerun."""
+    from . import serialize as S
+    from .core.protocol import registry
+
+    with open(args.proof) as f:
+        doc = json.load(f)
+    protocol = doc["protocol"]
+    proto = registry()[protocol]()
+    proof = S.PROOF_OF_JSON[protocol](doc["proof"])
+    vkey = S.VKEY_OF_JSON[protocol](doc["vkey"])
+    public = S.var_map_of_json(doc["public"], S.fr_of_json)
+    ok = proto.verify(public, vkey, proof)
+    print(f"{args.proof}: protocol={protocol} verified={ok}")
+    if not ok:
+        sys.exit(1)
 
 
 def cmd_bench(args):
@@ -116,6 +135,10 @@ def main(argv=None):
     p.add_argument("--proof", help="output path (default proof.json)")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_prove)
+
+    p = sub.add_parser("verify", help="verify a proof document")
+    p.add_argument("proof", help="proof JSON written by `prove`")
+    p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("bench", help="synthetic R1CS Groth16 benchmark")
     p.add_argument("--log-constraints", type=int, default=14)

@@ -52,7 +52,7 @@ def _jit_fixed_base(group: str):
 class JaxEngine(Engine):
     name = "jax"
 
-    def __init__(self, msm_window: int = 8):
+    def __init__(self, msm_window: int = None):
         from .. import jax_setup  # enables persistent cache
         self.msm_window = msm_window
         self._flat_cache: Dict[int, flat_mod.FlatCircuit] = {}

@@ -31,16 +31,35 @@ from . import field_jax as F
 
 def _scalars_to_windows(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
     """(nl, N) standard-form scalars -> (n_windows, N) int32 window digits,
-    least-significant window first."""
-    assert params.LIMB_BITS % c == 0
-    per_limb = params.LIMB_BITS // c
+    least-significant window first.  Any 1 <= c <= 16: a digit straddles at
+    most two 16-bit limbs."""
+    assert 1 <= c <= params.LIMB_BITS
     nl, n = scalars_std.shape
+    total_bits = nl * params.LIMB_BITS
+    n_windows = -(-total_bits // c)
+    mask = jnp.uint32((1 << c) - 1)
     outs = []
-    for i in range(nl):
-        v = scalars_std[i]
-        for j in range(per_limb):
-            outs.append(((v >> (j * c)) & jnp.uint32((1 << c) - 1)).astype(jnp.int32))
+    for w in range(n_windows):
+        lo = w * c
+        k = lo // params.LIMB_BITS
+        off = lo % params.LIMB_BITS
+        v = scalars_std[k] >> off
+        if off + c > params.LIMB_BITS and k + 1 < nl:
+            v = v | (scalars_std[k + 1] << (params.LIMB_BITS - off))
+        outs.append((v & mask).astype(jnp.int32))
     return jnp.stack(outs, axis=0)
+
+
+def auto_window(n: int) -> int:
+    """Window width minimizing ceil(256/c) * (a*N + b*2^c) under the
+    chunked-scan cost model (bucket work ~3.5 lanes/bucket, per-element
+    work ~1.3 lanes): roughly log2(N) - 4, clamped to [4, 16]."""
+    best, best_cost = 4, None
+    for c in range(4, 17):
+        cost = -(-256 // c) * (1.3 * n + 3.5 * (1 << c))
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
 
 
 def _roll(x: jnp.ndarray, shift) -> jnp.ndarray:
@@ -114,11 +133,11 @@ def _bucket_sums_chunked(points: C.Point, digits: jnp.ndarray,
                          K: int = 32) -> C.Point:
     """Work-efficient bucket accumulation: sort, then a two-phase segmented
     scan — K sequential steps over N/K wide lanes (work O(N)), a log(N/K)
-    cross-chunk carry scan, and one full-width carry application.
+    cross-chunk carry scan, and a bucket-width (2^c-wide, not N-wide)
+    carry application at the segment tails only.
 
-    ~(K + log(N/K) + 1) batched point-adds per window instead of the HS
-    variant's log(N) *full-width* adds; at 2^20 that is ~6x less add work.
-    """
+    ~(K + log(N/K)) batched point-add lanes of total width ~N per window
+    instead of the HS variant's log(N) *full-width* adds."""
     n = digits.shape[0]
     if n % K != 0 or n // K < 2:
         return _bucket_sums(points, digits, n_buckets, ops, infinity)
@@ -185,39 +204,119 @@ def _bucket_sums_chunked(points: C.Point, digits: jnp.ndarray,
     cinZ = ops.select(match, shift1(carZ), inf_m[2])
     # NB: infinity must be Z == 0; zeroed X/Y/Z arrays satisfy that.
 
-    # phase 3: apply carries to each chunk's first-segment prefix
-    prefix_mask = (d2 == first_seg[:, None]).reshape(n)
+    # phase 3: only segment TAILS feed the buckets, so carries need not be
+    # applied across each chunk's whole first-segment prefix — only at the
+    # tail of chunk m's first segment, i.e. at bucket first_seg[m], and
+    # only when that tail actually lies in chunk m (the segment does not
+    # run through to chunk m+1; if it does, the HS scan already folded
+    # chunk m's partial into a later chunk's carry-in).
     scan_flat = tuple(x.reshape(x.shape[:-2] + (n,))
                       for x in (outX, outY, outZ))
+    bX, bY, bZ = _scatter_tails(scan_flat, d_sorted, n_buckets, infinity)
+
+    continues = jnp.concatenate(
+        [(last_seg == first_seg)[:-1] & (first_seg[1:] == first_seg[:-1]),
+         jnp.array([False])])
+    apply_m = match & ~continues
+    tgt = jnp.where(apply_m, first_seg, n_buckets)  # dummy slot otherwise
+    cbX, cbY, cbZ = infinity(n_buckets + 1)
+    cbX = cbX.at[..., tgt].set(cinX)
+    cbY = cbY.at[..., tgt].set(cinY)
+    cbZ = cbZ.at[..., tgt].set(cinZ)
+    # unmasked chunks all land in the dummy slot (sliced off); masked ones
+    # hit distinct buckets (one tail per segment), so no collisions matter.
+    carry_b = (cbX[..., :n_buckets], cbY[..., :n_buckets],
+               cbZ[..., :n_buckets])
+    # carry slots without a real carry are (0,*,0) = infinity: add is id.
+    return C.point_add((bX, bY, bZ), carry_b, ops)
+
+
+def _chunked_prefix_scan(points: C.Point, ops: C.FieldOps,
+                         K: int) -> C.Point:
+    """Work-efficient unsegmented inclusive prefix sum along the batch
+    axis: K sequential in-chunk steps (N total add lanes), an HS scan over
+    the N/K chunk totals, one N-wide carry application."""
+    n = points[0].shape[-1]
+    M = n // K
+    p2 = tuple(x.reshape(x.shape[:-1] + (M, K)) for x in points)
+
+    def step(t, st):
+        accX, accY, accZ, outX, outY, outZ = st
+        cur = tuple(jax.lax.dynamic_index_in_dim(x, t, x.ndim - 1,
+                                                 keepdims=False) for x in p2)
+        accX, accY, accZ = C.point_add((accX, accY, accZ), cur, ops)
+        outX = jax.lax.dynamic_update_index_in_dim(
+            outX, accX, t, outX.ndim - 1)
+        outY = jax.lax.dynamic_update_index_in_dim(
+            outY, accY, t, outY.ndim - 1)
+        outZ = jax.lax.dynamic_update_index_in_dim(
+            outZ, accZ, t, outZ.ndim - 1)
+        return accX, accY, accZ, outX, outY, outZ
+
+    out0 = tuple(jnp.zeros_like(x) for x in p2)
+    first = tuple(x[..., 0] for x in p2)
+    out0 = tuple(
+        jax.lax.dynamic_update_index_in_dim(o, f, 0, o.ndim - 1)
+        for o, f in zip(out0, first))
+    accX, accY, accZ, outX, outY, outZ = jax.lax.fori_loop(
+        1, K, step, (*first, *out0))
+
+    # exclusive scan of chunk totals = carry into each chunk
+    seg = jnp.zeros(M, dtype=jnp.int32)
+    carX, carY, carZ = _hs_segmented_scan((accX, accY, accZ), seg, ops)
+
+    def shift1(x):
+        return jnp.concatenate(
+            [jnp.zeros_like(x[..., :1]), x[..., :-1]], axis=-1)
+
+    cin = (shift1(carX), shift1(carY), shift1(carZ))  # Z=0 rows = infinity
     carry_full = tuple(
         jnp.repeat(x[..., :, None], K, axis=-1).reshape(x.shape[:-1] + (n,))
-        for x in (cinX, cinY, cinZ))
-    fX, fY, fZ = C.point_add(scan_flat, carry_full, ops)
-    sX = ops.select(prefix_mask, fX, scan_flat[0])
-    sY = ops.select(prefix_mask, fY, scan_flat[1])
-    sZ = ops.select(prefix_mask, fZ, scan_flat[2])
+        for x in cin)
+    flat = tuple(x.reshape(x.shape[:-2] + (n,)) for x in (outX, outY, outZ))
+    return C.point_add(flat, carry_full, ops)
 
-    return _scatter_tails((sX, sY, sZ), d_sorted, n_buckets, infinity)
+
+def _chunked_total(points: C.Point, ops: C.FieldOps, K: int) -> C.Point:
+    """Sum of all points: K sequential adds over N/K lanes + HS total."""
+    n = points[0].shape[-1]
+    M = n // K
+    p2 = tuple(x.reshape(x.shape[:-1] + (M, K)) for x in points)
+
+    def step(t, acc):
+        cur = tuple(jax.lax.dynamic_index_in_dim(x, t, x.ndim - 1,
+                                                 keepdims=False) for x in p2)
+        return C.point_add(acc, cur, ops)
+
+    acc = jax.lax.fori_loop(1, K, step, tuple(x[..., 0] for x in p2))
+    return _hs_total(acc, ops)
 
 
 def _weighted_bucket_reduce(buckets: C.Point, ops: C.FieldOps,
-                            infinity) -> C.Point:
+                            infinity, K: int = 64) -> C.Point:
     """sum_{b=1}^{B-1} b * S_b via suffix sums: T_j = sum_{b>=j} S_b,
-    result = sum_{j>=1} T_j."""
+    result = sum_{j>=1} T_j.  Work-efficient (chunked) when B divides K;
+    falls back to the log-depth HS scan otherwise."""
     X, Y, Z = buckets
     inf1 = infinity(1)
     X = X.at[..., 0:1].set(inf1[0])  # weight of bucket 0 is 0
     Y = Y.at[..., 0:1].set(inf1[1])
     Z = Z.at[..., 0:1].set(inf1[2])
     rev = (X[..., ::-1], Y[..., ::-1], Z[..., ::-1])
-    seg = jnp.zeros(X.shape[-1], dtype=jnp.int32)
-    sX, sY, sZ = _hs_segmented_scan(rev, seg, ops)  # sX[k] = T_{B-1-k}
+    B = X.shape[-1]
+    if B % K == 0 and B // K >= 2:
+        sX, sY, sZ = _chunked_prefix_scan(rev, ops, K)  # sX[k] = T_{B-1-k}
+    else:
+        seg = jnp.zeros(B, dtype=jnp.int32)
+        sX, sY, sZ = _hs_segmented_scan(rev, seg, ops)
     # sum T_j for j >= 1 only: drop the last scan entry (T_0) by replacing
     # it with infinity before the total.
     inf1 = infinity(1)
     sX = sX.at[..., -1:].set(inf1[0])
     sY = sY.at[..., -1:].set(inf1[1])
     sZ = sZ.at[..., -1:].set(inf1[2])
+    if B % K == 0 and B // K >= 2:
+        return _chunked_total((sX, sY, sZ), ops, K)
     return _hs_total((sX, sY, sZ), ops)
 
 
@@ -312,11 +411,14 @@ def _jit_window_combine(group: str, c: int, n_windows: int):
 
 
 def msm_staged(points: C.Point, scalars_std: jnp.ndarray, group: str = "g1",
-               c: int = 8):
+               c: int = None):
     """Host-staged Pippenger: returns a single golden point.
 
     One compiled per-window program dispatched asynchronously W times, one
-    compiled combine program, ONE device->host fetch at the end."""
+    compiled combine program, ONE device->host fetch at the end.
+    c=None picks the window width from the batch size."""
+    if c is None:
+        c = auto_window(points[0].shape[-1])
     digits = _jit_windows_extract(c)(scalars_std)
     n_windows = digits.shape[0]
     wfn = _jit_window(group, c)

@@ -82,17 +82,22 @@ def _np2(n: int) -> int:
     return 1 << max(4, (n - 1).bit_length())
 
 
-# MSM window width; CPU test harnesses drop this to 4 (XLA:CPU compiles
-# the 2^c-bucket window program too slowly at 8).
-DEFAULT_MSM_WINDOW = 8
+# MSM window width; None = size-based auto (ops.msm.auto_window).  CPU
+# test harnesses pin this to 4 (XLA:CPU compiles the 2^c-bucket window
+# program too slowly at larger widths).
+DEFAULT_MSM_WINDOW = None
 
 
 def _msm(points: C.Point, scalars_mont: jnp.ndarray, group: str,
          c: int = None) -> "G1 | G2":
     if c is None:
         c = DEFAULT_MSM_WINDOW
-    n = _np2(max(points[0].shape[-1], scalars_mont.shape[1]))
-    P = _pad_points(points, n, group)
+    # Size by the SCALAR count: points beyond it pair with zero scalars and
+    # contribute nothing, so they are truncated (ti1/ti2 hold n+2 entries —
+    # without truncation a 2^20-degree MSM would pad to 2^21).
+    n = _np2(scalars_mont.shape[1])
+    P = (tuple(x[..., :n] for x in points)
+         if points[0].shape[-1] > n else _pad_points(points, n, group))
     S = _jit_from_mont(params.FR_LIMBS)(_pad_scalars(scalars_mont, n))
     return msm_mod.msm_staged(P, S, group=group, c=c)
 

@@ -170,6 +170,28 @@ def pinocchio_pkey_to_json(pk) -> dict:
     return out
 
 
+def pinocchio_pkey_of_json(j):
+    from .protocols.pinocchio import PKey
+    return PKey(
+        vv=var_map_of_json(j["vv"], g1_of_json),
+        ww=var_map_of_json(j["ww"], g2_of_json),
+        yy=var_map_of_json(j["yy"], g1_of_json),
+        vav=var_map_of_json(j["vav"], g1_of_json),
+        waw=var_map_of_json(j["waw"], g2_of_json),
+        yay=var_map_of_json(j["yay"], g1_of_json),
+        si=[g1_of_json(x) for x in j["si"]],
+        bvwy=var_map_of_json(j["bvwy"], g1_of_json),
+        si2=[g2_of_json(x) for x in j["si2"]],
+        vt=g1_of_json(j["vt"]), wt=g2_of_json(j["wt"]),
+        yt=g1_of_json(j["yt"]), vavt=g1_of_json(j["vavt"]),
+        wawt=g2_of_json(j["wawt"]), yayt=g1_of_json(j["yayt"]),
+        vbt=g1_of_json(j["vbt"]), wbt=g1_of_json(j["wbt"]),
+        ybt=g1_of_json(j["ybt"]),
+        v_all=var_map_of_json(j["v_all"], g1_of_json),
+        w_all=var_map_of_json(j["w_all"], g1_of_json),
+    )
+
+
 def pinocchio_vkey_to_json(vk) -> dict:
     # pinocchio.ml:62-75 field names
     return {
@@ -182,6 +204,34 @@ def pinocchio_vkey_to_json(vk) -> dict:
         "ww_io": var_map_to_json(vk.ww_io, g2_to_json),
         "yy_io": var_map_to_json(vk.yy_io, g1_to_json),
     }
+
+
+def pinocchio_vkey_of_json(j):
+    from .protocols.pinocchio import VKey
+    return VKey(
+        one=g1_of_json(j["one"]), one2=g2_of_json(j["one2"]),
+        av=g2_of_json(j["av"]), aw=g1_of_json(j["aw"]),
+        ay=g2_of_json(j["ay"]), gm2=g2_of_json(j["gm2"]),
+        bgm=g1_of_json(j["bgm"]), bgm2=g2_of_json(j["bgm2"]),
+        yt=g2_of_json(j["yt"]),
+        vv_io=var_map_of_json(j["vv_io"], g1_of_json),
+        ww_io=var_map_of_json(j["ww_io"], g2_of_json),
+        yy_io=var_map_of_json(j["yy_io"], g1_of_json),
+    )
+
+
+VKEY_TO_JSON = {"groth16": groth16_vkey_to_json,
+                "pinocchio": pinocchio_vkey_to_json,
+                "pinocchio_zk": pinocchio_vkey_to_json}
+VKEY_OF_JSON = {"groth16": groth16_vkey_of_json,
+                "pinocchio": pinocchio_vkey_of_json,
+                "pinocchio_zk": pinocchio_vkey_of_json}
+PROOF_TO_JSON = {"groth16": groth16_proof_to_json,
+                 "pinocchio": pinocchio_proof_to_json,
+                 "pinocchio_zk": pinocchio_proof_to_json}
+PROOF_OF_JSON = {"groth16": groth16_proof_of_json,
+                 "pinocchio": pinocchio_proof_of_json,
+                 "pinocchio_zk": pinocchio_proof_of_json}
 
 
 def dumps(obj) -> str:

@@ -27,6 +27,8 @@ class PipelineResult:
     output: L.Value
     proof: object
     verified: bool
+    pkey: object = None
+    vkey: object = None
 
 
 def _eval_with_retry(compiled, e, rng, inputs_values=None, max_retries=50):
@@ -76,7 +78,8 @@ def run_pipeline(e: L.Expr, protocol, *, seed=0, domain: str = "reference",
     public = {v: f for v, f in sol.items() if v not in compiled.circuit.mids}
     verified = protocol.verify(public, vk, proof)
     return PipelineResult(compiled=compiled, qap=q, sol=sol, public=public,
-                          output=o, proof=proof, verified=verified)
+                          output=o, proof=proof, verified=verified,
+                          pkey=pk, vkey=vk)
 
 
 def random_test(e: L.Expr, protocol, *, seed=0, domain: str = "reference"):
