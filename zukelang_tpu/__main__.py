@@ -102,7 +102,13 @@ def cmd_bench(args):
     import os
     os.environ["BENCH_LOG_CONSTRAINTS"] = str(args.log_constraints)
     from . import bench_lib
-    res = bench_lib.bench_groth16(args.log_constraints, repeats=args.repeats)
+    if args.protocol == "groth16":
+        res = bench_lib.bench_groth16(args.log_constraints,
+                                      repeats=args.repeats)
+    else:
+        res = bench_lib.bench_pinocchio(args.log_constraints,
+                                        repeats=args.repeats,
+                                        zk=args.protocol == "pinocchio_zk")
     print(json.dumps(res, indent=1))
 
 
@@ -140,9 +146,11 @@ def main(argv=None):
     p.add_argument("proof", help="proof JSON written by `prove`")
     p.set_defaults(fn=cmd_verify)
 
-    p = sub.add_parser("bench", help="synthetic R1CS Groth16 benchmark")
+    p = sub.add_parser("bench", help="synthetic R1CS prover benchmark")
     p.add_argument("--log-constraints", type=int, default=14)
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--protocol", default="groth16",
+                   choices=["groth16", "pinocchio", "pinocchio_zk"])
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("test", help="run the reference program suite")

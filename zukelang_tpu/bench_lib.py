@@ -86,6 +86,58 @@ def make_synthetic_r1cs(log_constraints: int, seed: int = 1) -> SyntheticR1CS:
     return SyntheticR1CS(fc=fc, witness=w, mids_cols=mids, ios_cols=ios)
 
 
+def bench_pinocchio(log_constraints: int, seed: int = 1, repeats: int = 3,
+                    zk: bool = True):
+    """Pinocchio device pipeline on the synthetic R1CS: keygen + the 8-MSM
+    prove (10 MSMs with ZK) + 9-pairing verify."""
+    import jax
+    from .protocols import pinocchio_device as pd
+    from .rng import Gen
+
+    inst = make_synthetic_r1cs(log_constraints, seed)
+    fc = inst.fc
+
+    t0 = time.time()
+    pk, vk = pd.keygen_device(
+        fc, mids=list(inst.mids_cols), ios=list(inst.ios_cols),
+        rng=Gen(b"bench-pin-keygen"))
+    jax.device_get(pk.vv[0][..., :1])
+    t_keygen = time.time() - t0
+
+    wm = inst.pack_witness()
+    t0 = time.time()
+    proof = pd.prove_device(pk, fc, wm, Gen(b"bench-pin-prove"), zk=zk)
+    t_first = time.time() - t0
+
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        proof = pd.prove_device(pk, fc, wm, Gen(b"bench-pin-%d" % i), zk=zk)
+        times.append(time.time() - t0)
+    t_prove = min(times)
+
+    t0 = time.time()
+    public = {int(c): Fr(inst.witness[c]) for c in inst.ios_cols}
+    ok = pd.verify(public, vk, proof)
+    t_verify = time.time() - t0
+    assert ok, "benchmark proof failed to verify"
+
+    n = 1 << log_constraints
+    # G1-equivalent terms: 5 G1 mid MSMs + h (n) + 2 G2 mid (~3x) + ZK 2 all-var
+    msm_terms = 5 * n + n + 3 * 2 * n + (2 * n if zk else 0)
+    return {
+        "log_constraints": log_constraints,
+        "keygen_s": t_keygen,
+        "prove_first_s": t_first,
+        "prove_s": t_prove,
+        "verify_s": t_verify,
+        "msm_terms_per_prove": msm_terms,
+        "msm_mops_per_s": msm_terms / t_prove / 1e6,
+        "verified": ok,
+        "zk": zk,
+    }
+
+
 def bench_groth16(log_constraints: int, seed: int = 1, repeats: int = 3):
     """Full keygen + prove + verify; returns timing dict."""
     import jax

@@ -410,13 +410,12 @@ def _jit_window_combine(group: str, c: int, n_windows: int):
     return jax.jit(run)
 
 
-def msm_staged(points: C.Point, scalars_std: jnp.ndarray, group: str = "g1",
-               c: int = None):
-    """Host-staged Pippenger: returns a single golden point.
-
-    One compiled per-window program dispatched asynchronously W times, one
-    compiled combine program, ONE device->host fetch at the end.
-    c=None picks the window width from the batch size."""
+def msm_staged_device(points: C.Point, scalars_std: jnp.ndarray,
+                      group: str = "g1", c: int = None) -> C.Point:
+    """Host-staged Pippenger returning the batch-1 result ON DEVICE: one
+    compiled per-window program dispatched asynchronously W times plus one
+    combine program, no host sync.  Callers batching several MSMs should
+    collect these and unpack once (one fetch for the whole prove)."""
     if c is None:
         c = auto_window(points[0].shape[-1])
     digits = _jit_windows_extract(c)(scalars_std)
@@ -426,7 +425,15 @@ def msm_staged(points: C.Point, scalars_std: jnp.ndarray, group: str = "g1",
     stacked = tuple(
         jnp.concatenate([r[i] for r in dev_results], axis=-1)
         for i in range(3))
-    final = _jit_window_combine(group, c, n_windows)(stacked)
+    return _jit_window_combine(group, c, n_windows)(stacked)
+
+
+def msm_staged(points: C.Point, scalars_std: jnp.ndarray, group: str = "g1",
+               c: int = None):
+    """Host-staged Pippenger: returns a single golden point (one device->
+    host fetch at the end).  c=None picks the window width from the batch
+    size."""
+    final = msm_staged_device(points, scalars_std, group=group, c=c)
     unpack = C.unpack_g1 if group == "g1" else C.unpack_g2
     return unpack(final)[0]
 
@@ -435,10 +442,31 @@ def msm_staged(points: C.Point, scalars_std: jnp.ndarray, group: str = "g1",
 # Fixed-base batches
 # ---------------------------------------------------------------------------
 
+def _table_cache_dir() -> str:
+    import os
+    d = os.environ.get("ZUKELANG_TABLE_CACHE")
+    if d is None:
+        d = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".zk_cache")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 @functools.lru_cache(maxsize=8)
 def _fixed_base_table(group: str, c: int) -> Tuple[np.ndarray, ...]:
     """Host-precomputed window table flattened as (W * 2^c) points:
-    entry [w * 2^c + d] = d * 2^(cw) * G, packed Montgomery limbs."""
+    entry [w * 2^c + d] = d * 2^(cw) * G, packed Montgomery limbs.
+
+    The golden-point build (W * 2^c group adds in Python) costs minutes
+    for G2, so tables are persisted to .zk_cache/ across processes."""
+    import os
+    path = os.path.join(_table_cache_dir(), f"fixed_base_{group}_{c}.npz")
+    try:
+        z = np.load(path)
+        return tuple(z[f"a{i}"] for i in range(len(z.files)))
+    except Exception:
+        pass
+
     from ..golden.curve import G1, G2
     gen = G1.generator() if group == "g1" else G2.generator()
     n_windows = (256 + c - 1) // c
@@ -455,7 +483,12 @@ def _fixed_base_table(group: str, c: int) -> Tuple[np.ndarray, ...]:
     # force eager evaluation so the table is a host constant.
     with jax.ensure_compile_time_eval():
         packed = C.pack_g1(pts) if group == "g1" else C.pack_g2(pts)
-        return tuple(np.asarray(x) for x in packed)
+        out = tuple(np.asarray(x) for x in packed)
+    try:
+        np.savez_compressed(path, **{f"a{i}": a for i, a in enumerate(out)})
+    except Exception:
+        pass
+    return out
 
 
 def fixed_base_mul(scalars_std: jnp.ndarray, group: str = "g1",

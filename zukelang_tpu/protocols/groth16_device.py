@@ -88,8 +88,9 @@ def _np2(n: int) -> int:
 DEFAULT_MSM_WINDOW = None
 
 
-def _msm(points: C.Point, scalars_mont: jnp.ndarray, group: str,
-         c: int = None) -> "G1 | G2":
+def _msm_device(points: C.Point, scalars_mont: jnp.ndarray, group: str,
+                c: int = None) -> C.Point:
+    """Dispatch one MSM, result stays on device (batch-1 point)."""
     if c is None:
         c = DEFAULT_MSM_WINDOW
     # Size by the SCALAR count: points beyond it pair with zero scalars and
@@ -99,7 +100,22 @@ def _msm(points: C.Point, scalars_mont: jnp.ndarray, group: str,
     P = (tuple(x[..., :n] for x in points)
          if points[0].shape[-1] > n else _pad_points(points, n, group))
     S = _jit_from_mont(params.FR_LIMBS)(_pad_scalars(scalars_mont, n))
-    return msm_mod.msm_staged(P, S, group=group, c=c)
+    return msm_mod.msm_staged_device(P, S, group=group, c=c)
+
+
+def _unpack_many(dev_points, group: str):
+    """Batch-1 device points -> golden points with ONE device fetch."""
+    if not dev_points:
+        return []
+    cat = tuple(jnp.concatenate([p[i] for p in dev_points], axis=-1)
+                for i in range(3))
+    return (C.unpack_g1 if group == "g1" else C.unpack_g2)(cat)
+
+
+def _msm(points: C.Point, scalars_mont: jnp.ndarray, group: str,
+         c: int = None) -> "G1 | G2":
+    return _unpack_many([_msm_device(points, scalars_mont, group, c)],
+                        group)[0]
 
 
 def keygen_device(fc: flat_mod.FlatCircuit, mids: Sequence, ios: Sequence,
@@ -233,11 +249,14 @@ def prove_device(crs: DeviceCRS, fc: flat_mod.FlatCircuit,
         fc.n_gates)(*args, witness_mont)
 
     n = crs.n
-    A_sum = _msm(crs.ti1, a_comb, "g1")
-    B_sum = _msm(crs.ti2, b_comb, "g2")
-    B1_sum = _msm(crs.ti1, b_comb, "g1")
-    H_sum = _msm(crs.tiztd, h[:, : max(1, n - 1)], "g1")
-    Cmid = _msm(crs.ltd_mid, witness_mont[:, crs.mids_idx], "g1")
+    # dispatch ALL MSMs before any host sync; two fetches total (G1, G2)
+    A_d = _msm_device(crs.ti1, a_comb, "g1")
+    B_d = _msm_device(crs.ti2, b_comb, "g2")
+    B1_d = _msm_device(crs.ti1, b_comb, "g1")
+    H_d = _msm_device(crs.tiztd, h[:, : max(1, n - 1)], "g1")
+    C_d = _msm_device(crs.ltd_mid, witness_mont[:, crs.mids_idx], "g1")
+    A_sum, B1_sum, H_sum, Cmid = _unpack_many([A_d, B1_d, H_d, C_d], "g1")
+    (B_sum,) = _unpack_many([B_d], "g2")
 
     a = crs.alpha_g1 + A_sum + crs.delta_g1 * r_sc
     b = crs.beta_g2 + B_sum + crs.delta_g2 * s_sc
