@@ -55,23 +55,32 @@ def main():
         golden_pts = [g * k for k in ks]
         expected = G1.dot(golden_pts, [Fr(s) for s in scalars])
 
-    for c in cs:
-        # warm-up
+    variants = [("jac", P)]
+    if "--no-affine" not in sys.argv:
         t0 = time.time()
-        r = msm.msm_staged(P, S, group="g1", c=c)
-        t_first = time.time() - t0
-        times = []
-        for _ in range(3):
+        Paff = C.to_affine(P, C.FQ_OPS)
+        jax.device_get(Paff[0][..., :1])
+        print(f"to_affine: {time.time() - t0:.2f}s", flush=True)
+        variants.append(("aff", Paff))
+
+    for c in cs:
+        for tag, pts in variants:
+            # warm-up
             t0 = time.time()
-            r = msm.msm_staged(P, S, group="g1", c=c)
-            times.append(time.time() - t0)
-        t = min(times)
-        ceff = c if c is not None else msm.auto_window(n)
-        ok = "" if expected is None else (
-            " OK" if r == expected else " MISMATCH!")
-        print(f"G1 MSM 2^{logn} c={ceff}: {t:.3f}s warm "
-              f"({n / t / 1e6:.2f} Mterm/s), first {t_first:.1f}s{ok}",
-              flush=True)
+            r = msm.msm_staged(pts, S, group="g1", c=c)
+            t_first = time.time() - t0
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                r = msm.msm_staged(pts, S, group="g1", c=c)
+                times.append(time.time() - t0)
+            t = min(times)
+            ceff = c if c is not None else msm.auto_window(n)
+            ok = "" if expected is None else (
+                " OK" if r == expected else " MISMATCH!")
+            print(f"G1 MSM[{tag}] 2^{logn} c={ceff}: {t:.3f}s warm "
+                  f"({n / t / 1e6:.2f} Mterm/s), first {t_first:.1f}s{ok}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -228,3 +228,78 @@ def test_mont_mul_cios_variant():
     a = F.pack_mont(xs, spec)
     got = F.unpack_mont(jax.jit(lambda x: F.mont_mul_cios(x, x, spec))(a), spec)
     assert got == [(x * x) % spec.p for x in xs]
+
+
+def test_to_affine_roundtrip():
+    g = G1.generator()
+    pts = [g * random.randrange(1, params.R) for _ in range(7)] + [G1.zero()]
+    A = C.to_affine(C.pack_g1(pts), C.FQ_OPS)
+    assert C.unpack_g1(C.affine_to_jac(A, C.FQ_OPS)) == pts
+    # infinity marker is exactly (0, 0)
+    assert not np.asarray(A[0])[:, -1].any()
+    assert not np.asarray(A[1])[:, -1].any()
+    g2 = G2.generator()
+    pts2 = [g2 * random.randrange(1, params.R) for _ in range(3)] + [G2.zero()]
+    A2 = C.to_affine(C.pack_g2(pts2), C.FQ2_OPS)
+    assert C.unpack_g2(C.affine_to_jac(A2, C.FQ2_OPS)) == pts2
+
+
+def test_point_madd_matches_golden():
+    g = G1.generator()
+    # generic + q_inf + p_inf + doubling + opposite lanes
+    q = [g * 3, G1.zero(), g * 5, g * 7, g * 9, G1.zero()]
+    p = [g * 11, g * 4, G1.zero(), g * 7, -(g * 9), G1.zero()]
+    Qa = C.to_affine(C.pack_g1(q), C.FQ_OPS)
+    got = C.unpack_g1(C.point_madd(C.pack_g1(p), Qa, C.FQ_OPS))
+    assert got == [a + b for a, b in zip(p, q)]
+
+
+def test_point_madd_g2_matches_golden():
+    g2 = G2.generator()
+    q = [g2 * 3, G2.zero(), g2 * 5, g2 * 7]
+    p = [g2 * 11, g2 * 4, G2.zero(), g2 * 7]
+    Qa = C.to_affine(C.pack_g2(q), C.FQ2_OPS)
+    got = C.unpack_g2(C.point_madd(C.pack_g2(p), Qa, C.FQ2_OPS))
+    assert got == [a + b for a, b in zip(p, q)]
+
+
+def test_madd_kernel_body_matches_golden():
+    """The Pallas madd kernel body math, run as plain jnp (the kernel
+    itself only compiles on real TPU; interpret mode is impractically
+    slow for the unrolled point formulas)."""
+    from zukelang_tpu.ops import pallas_kernels as PK
+    spec = F.FQ
+    nl = spec.nl
+    p_limbs = tuple(int(x) for x in spec.p_limbs)
+    one_limbs = tuple(int(x) for x in F._int_to_limbs(spec.r_mod_p, nl))
+    g = G1.generator()
+    q = [g * 3, G1.zero(), g * 5, g * 7, g * 9]
+    p = [g * 11, g * 4, G1.zero(), g * 7, -(g * 9)]
+    Pj = C.pack_g1(p)
+    Qa = C.to_affine(C.pack_g1(q), C.FQ_OPS)
+    rows = lambda arr: [arr[j, :] for j in range(nl)]
+    mul = lambda a, b: PK._fq_mul_body(a, b, p_limbs, spec.nprime)
+    add = lambda a, b: PK._fq_add_body(a, b, p_limbs)
+    sub = lambda a, b: PK._fq_sub_body(a, b, p_limbs)
+    one = [jnp.full_like(rows(Pj[0])[0], jnp.uint32(v)) for v in one_limbs]
+    X3, Y3, Z3, same = PK._madd_core(
+        rows(Pj[0]), rows(Pj[1]), rows(Pj[2]), rows(Qa[0]), rows(Qa[1]),
+        mul, add, sub, PK._fq_is_zero_body, PK._select_limbs, one)
+    got = C.unpack_g1(tuple(jnp.stack(v) for v in (X3, Y3, Z3)))
+    want = [a + b for a, b in zip(p, q)]
+    assert list(np.asarray(same)) == [False, False, False, True, False]
+    for i in range(5):
+        if i == 3:
+            continue  # doubling lane: flagged, fixed up by point_madd
+        assert got[i] == want[i]
+
+
+@pytest.mark.slow
+def test_msm_staged_affine_bases():
+    g = G1.generator()
+    N = 16
+    pts = [g * random.randrange(1, params.R) for _ in range(N)]
+    scs = [random.randrange(params.R) for _ in range(N)]
+    Paff = C.to_affine(C.pack_g1(pts), C.FQ_OPS)
+    got = msm.msm_staged(Paff, F.pack(scs, F.FR), group="g1", c=4)
+    assert got == G1.dot(pts, [Fr(s) for s in scs])

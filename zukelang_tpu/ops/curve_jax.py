@@ -188,6 +188,110 @@ def point_neg(p: Point, ops: FieldOps, spec=F.FQ) -> Point:
     return X, jnp.stack([F.neg(Y[0], spec), F.neg(Y[1], spec)]), Z
 
 
+AffinePoint = Tuple[jnp.ndarray, jnp.ndarray]  # (X, Y); (0, 0) = infinity
+
+
+def _one_coord(n: int, ops: FieldOps) -> jnp.ndarray:
+    if ops is FQ2_OPS:
+        return jnp.stack([F.ones_mont(n, F.FQ), F.zeros(n, F.FQ)])
+    return F.ones_mont(n, F.FQ)
+
+
+def affine_to_jac(q: AffinePoint, ops: FieldOps) -> Point:
+    """(X, Y) affine -> Jacobian; the (0, 0) infinity marker maps to Z=0."""
+    X2, Y2 = q
+    n = X2.shape[-1]
+    inf = ops.is_zero(X2) & ops.is_zero(Y2)
+    Z = ops.select(inf, ops.zeros_like(X2), _one_coord(n, ops))
+    return X2, Y2, Z
+
+
+def point_madd(p: Point, q: AffinePoint, ops: FieldOps) -> Point:
+    """Mixed add: p Jacobian + q affine ((0,0) = infinity) — 11 field muls
+    vs point_add's 24 (incl. its fused doubling path).
+
+    The doubling-degenerate case (p == q, both finite) is repaired with a
+    lax.cond: the full doubling only executes at runtime when some lane
+    actually collided, which for MSM bucket accumulation over a CRS is
+    cryptographically negligible — so the hot path stays at 11 muls."""
+    if F._use_pallas():
+        from . import pallas_kernels as PK
+        madd = (PK.point_madd_pallas if ops is FQ_OPS
+                else PK.point_madd_pallas_g2)
+        (X3, Y3, Z3), same = madd(p, q)
+    else:
+        X3, Y3, Z3, same = _madd_xla(p, q, ops)
+    out = (X3, Y3, Z3)
+
+    def fix(o):
+        dX, dY, dZ = point_double(p, ops)
+        return (ops.select(same, dX, o[0]),
+                ops.select(same, dY, o[1]),
+                ops.select(same, dZ, o[2]))
+
+    return jax.lax.cond(jnp.any(same), fix, lambda o: o, out)
+
+
+def _madd_xla(p: Point, q: AffinePoint, ops: FieldOps):
+    """madd-2007-bl on the XLA (non-Pallas) path; same contract as the
+    Pallas kernel: lanes with p == q come back garbage + flagged."""
+    X1, Y1, Z1 = p
+    X2, Y2 = q
+    Z1Z1, = _mul_many(ops, [Z1], [Z1])
+    U2, ZC = _mul_many(ops, [X2, Z1], [Z1Z1, Z1Z1])
+    S2, = _mul_many(ops, [Y2], [ZC])
+    H = ops.sub(U2, X1)
+    r = ops.sub(S2, Y1)
+    HH, = _mul_many(ops, [H], [H])
+    I = ops.add(ops.add(HH, HH), ops.add(HH, HH))
+    r2 = ops.add(r, r)
+    J, V, rr = _mul_many(ops, [H, X1, r2], [I, I, r2])
+    X3 = ops.sub(ops.sub(rr, J), ops.add(V, V))
+    ZH = ops.add(Z1, H)
+    YJ, Ym, ZHs = _mul_many(ops, [Y1, r2, ZH], [J, ops.sub(V, X3), ZH])
+    Y3 = ops.sub(Ym, ops.add(YJ, YJ))
+    Z3 = ops.sub(ops.sub(ZHs, Z1Z1), HH)
+
+    p_inf = ops.is_zero(Z1)
+    q_inf = ops.is_zero(X2) & ops.is_zero(Y2)
+    same = ops.is_zero(H) & ops.is_zero(r) & ~p_inf & ~q_inf
+    one = _one_coord(X1.shape[-1], ops)
+    X3 = ops.select(q_inf, X1, ops.select(p_inf, X2, X3))
+    Y3 = ops.select(q_inf, Y1, ops.select(p_inf, Y2, Y3))
+    Z3 = ops.select(q_inf, Z1, ops.select(p_inf, one, Z3))
+    return X3, Y3, Z3, same
+
+
+def _fq_inv(a: jnp.ndarray) -> jnp.ndarray:
+    return F.inv(a, F.FQ)
+
+
+def _fq2_inv(a: jnp.ndarray) -> jnp.ndarray:
+    """(a0 + a1 u)^-1 = (a0 - a1 u) / (a0^2 + a1^2)   (u^2 = -1)."""
+    n0 = F.mont_mul(a[0], a[0], F.FQ)
+    n1 = F.mont_mul(a[1], a[1], F.FQ)
+    ninv = F.inv(F.add(n0, n1, F.FQ), F.FQ)
+    return jnp.stack([F.mont_mul(a[0], ninv, F.FQ),
+                      F.neg(F.mont_mul(a[1], ninv, F.FQ), F.FQ)])
+
+
+def to_affine(p: Point, ops: FieldOps) -> AffinePoint:
+    """Batch-normalize Jacobian points to affine (X/Z^2, Y/Z^3) with the
+    (0, 0) infinity marker.  Inversion is batched Fermat (one pow over the
+    whole width) — a once-per-CRS cost that makes every subsequent MSM use
+    the 11-mul mixed add instead of the 24-mul general add."""
+    X, Y, Z = p
+    n = X.shape[-1]
+    inf = ops.is_zero(Z)
+    Zs = ops.select(inf, _one_coord(n, ops), Z)
+    Zi = _fq_inv(Zs) if ops is FQ_OPS else _fq2_inv(Zs)
+    Zi2, = _mul_many(ops, [Zi], [Zi])
+    Xa, Zi3 = _mul_many(ops, [X, Zi2], [Zi2, Zi])
+    Ya, = _mul_many(ops, [Y], [Zi3])
+    zero = ops.zeros_like(X)
+    return ops.select(inf, zero, Xa), ops.select(inf, zero, Ya)
+
+
 def tree_sum(p: Point, ops: FieldOps) -> Point:
     """Reduce a batch of N points to a single point (N must stay a power of
     two internally; odd tails are padded with infinity)."""

@@ -128,7 +128,7 @@ def _bucket_sums(points: C.Point, digits: jnp.ndarray, n_buckets: int,
     return _scatter_tails(scanned, d_sorted, n_buckets, infinity)
 
 
-def _bucket_sums_chunked(points: C.Point, digits: jnp.ndarray,
+def _bucket_sums_chunked(points, digits: jnp.ndarray,
                          n_buckets: int, ops: C.FieldOps, infinity,
                          K: int = 32) -> C.Point:
     """Work-efficient bucket accumulation: sort, then a two-phase segmented
@@ -137,9 +137,17 @@ def _bucket_sums_chunked(points: C.Point, digits: jnp.ndarray,
     carry application at the segment tails only.
 
     ~(K + log(N/K)) batched point-add lanes of total width ~N per window
-    instead of the HS variant's log(N) *full-width* adds."""
+    instead of the HS variant's log(N) *full-width* adds.
+
+    `points` may be a 3-tuple (Jacobian) or a 2-tuple (affine, (0,0) =
+    infinity); the affine form runs phase 1 — the N add lanes that
+    dominate the MSM — with the 11-mul mixed add instead of the 24-mul
+    general add."""
+    affine = len(points) == 2
     n = digits.shape[0]
     if n % K != 0 or n // K < 2:
+        if affine:
+            points = C.affine_to_jac(points, ops)
         return _bucket_sums(points, digits, n_buckets, ops, infinity)
     M = n // K
     order = jnp.argsort(digits)
@@ -154,6 +162,12 @@ def _bucket_sums_chunked(points: C.Point, digits: jnp.ndarray,
 
     p2 = tuple(as2(x) for x in pts)
 
+    def cur_jac(cur):
+        """Phase-1 reset value: the current point as Jacobian."""
+        if affine:
+            return C.affine_to_jac(cur, ops)
+        return cur
+
     # phase 1: sequential in-chunk segmented scan (M lanes per step)
     def step(t, st):
         accX, accY, accZ, outX, outY, outZ = st
@@ -161,10 +175,14 @@ def _bucket_sums_chunked(points: C.Point, digits: jnp.ndarray,
                                                  keepdims=False) for x in p2)
         same = jax.lax.dynamic_index_in_dim(d2, t, 1, keepdims=False) == \
             jax.lax.dynamic_index_in_dim(d2, t - 1, 1, keepdims=False)
-        aX, aY, aZ = C.point_add((accX, accY, accZ), cur, ops)
-        accX = ops.select(same, aX, cur[0])
-        accY = ops.select(same, aY, cur[1])
-        accZ = ops.select(same, aZ, cur[2])
+        if affine:
+            aX, aY, aZ = C.point_madd((accX, accY, accZ), cur, ops)
+        else:
+            aX, aY, aZ = C.point_add((accX, accY, accZ), cur, ops)
+        cX, cY, cZ = cur_jac(cur)
+        accX = ops.select(same, aX, cX)
+        accY = ops.select(same, aY, cY)
+        accZ = ops.select(same, aZ, cZ)
         outX = jax.lax.dynamic_update_index_in_dim(
             outX, accX, t, outX.ndim - 1)
         outY = jax.lax.dynamic_update_index_in_dim(
@@ -173,8 +191,8 @@ def _bucket_sums_chunked(points: C.Point, digits: jnp.ndarray,
             outZ, accZ, t, outZ.ndim - 1)
         return accX, accY, accZ, outX, outY, outZ
 
-    out0 = tuple(jnp.zeros_like(x) for x in p2)
-    first = tuple(x[..., 0] for x in p2)
+    first = cur_jac(tuple(x[..., 0] for x in p2))
+    out0 = tuple(jnp.zeros(f.shape + (K,), f.dtype) for f in first)
     out0 = tuple(
         jax.lax.dynamic_update_index_in_dim(o, f, 0, o.ndim - 1)
         for o, f in zip(out0, first))
@@ -320,8 +338,10 @@ def _weighted_bucket_reduce(buckets: C.Point, ops: C.FieldOps,
     return _hs_total((sX, sY, sZ), ops)
 
 
-def _msm_impl(points: C.Point, scalars_std: jnp.ndarray, c: int,
+def _msm_impl(points, scalars_std: jnp.ndarray, c: int,
               ops: C.FieldOps, infinity) -> C.Point:
+    if len(points) == 2:
+        points = C.affine_to_jac(points, ops)
     digits = _scalars_to_windows(scalars_std, c)     # (W, N)
     n_buckets = 1 << c
 
@@ -368,11 +388,18 @@ def msm_g2(points: C.Point, scalars_std: jnp.ndarray, c: int = 8) -> C.Point:
 # Host-staged MSM: one jitted window program + host-side window combine
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=32)
-def _jit_window(group: str, c: int, chunked: bool = True):
+@functools.lru_cache(maxsize=64)
+def _jit_window(group: str, c: int, chunked: bool = True,
+                affine: bool = False):
     ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
     infinity = C.infinity_g1 if group == "g1" else C.infinity_g2
-    bucket_fn = _bucket_sums_chunked if chunked else _bucket_sums
+
+    def bucket_fn(points, dig, nb, ops, infinity):
+        if not chunked:
+            if affine:
+                points = C.affine_to_jac(points, ops)
+            return _bucket_sums(points, dig, nb, ops, infinity)
+        return _bucket_sums_chunked(points, dig, nb, ops, infinity)
 
     def run(points, dig):
         return _weighted_bucket_reduce(
@@ -410,17 +437,21 @@ def _jit_window_combine(group: str, c: int, n_windows: int):
     return jax.jit(run)
 
 
-def msm_staged_device(points: C.Point, scalars_std: jnp.ndarray,
+def msm_staged_device(points, scalars_std: jnp.ndarray,
                       group: str = "g1", c: int = None) -> C.Point:
     """Host-staged Pippenger returning the batch-1 result ON DEVICE: one
     compiled per-window program dispatched asynchronously W times plus one
     combine program, no host sync.  Callers batching several MSMs should
-    collect these and unpack once (one fetch for the whole prove)."""
+    collect these and unpack once (one fetch for the whole prove).
+
+    `points` may be Jacobian (X, Y, Z) or affine (X, Y) — affine bases
+    run the dominant bucket phase on the 11-mul mixed add (see
+    curve_jax.to_affine for the once-per-CRS normalization)."""
     if c is None:
         c = auto_window(points[0].shape[-1])
     digits = _jit_windows_extract(c)(scalars_std)
     n_windows = digits.shape[0]
-    wfn = _jit_window(group, c)
+    wfn = _jit_window(group, c, affine=len(points) == 2)
     dev_results = [wfn(points, digits[w]) for w in range(n_windows)]
     stacked = tuple(
         jnp.concatenate([r[i] for r in dev_results], axis=-1)
@@ -493,21 +524,25 @@ def _fixed_base_table(group: str, c: int) -> Tuple[np.ndarray, ...]:
 
 def fixed_base_mul(scalars_std: jnp.ndarray, group: str = "g1",
                    c: int = 8) -> C.Point:
-    """[g * s for s in scalars] — window-table gathers + a fori of adds."""
-    table = tuple(jnp.asarray(x) for x in _fixed_base_table(group, c))
+    """[g * s for s in scalars] — window-table gathers + a fori of mixed
+    adds (the table is affine: 11 muls per add lane instead of 24)."""
+    tX, tY, tZ = tuple(jnp.asarray(x) for x in _fixed_base_table(group, c))
     ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
+    # table entries are (0, 1, 0) at infinity -> affine marker (0, 0)
+    tinf = ops.is_zero(tZ)
+    tY = ops.select(tinf, ops.zeros_like(tY), tY)
     digits = _scalars_to_windows(scalars_std, c)  # (W, N)
     n_windows = digits.shape[0]
 
     def window_points(w, dig):
         idx = w * (1 << c) + dig
-        return tuple(t[..., idx] for t in table)
+        return tuple(t[..., idx] for t in (tX, tY))
 
     def body(w, acc):
         dig = jax.lax.dynamic_index_in_dim(digits, w, 0, keepdims=False)
-        return C.point_add(acc, window_points(w, dig), ops)
+        return C.point_madd(acc, window_points(w, dig), ops)
 
-    acc = window_points(0, digits[0])
+    acc = C.affine_to_jac(window_points(0, digits[0]), ops)
     return jax.lax.fori_loop(1, n_windows, body, acc)
 
 

@@ -539,3 +539,143 @@ def point_double_pallas_g2(p, block: int = 256, interpret: bool = None):
     args = [_pad_to(_flat2(x), npad) for x in p]
     out = _point_call2("double", npad, blk, interpret)(*args)
     return tuple(_unflat2(o)[..., :n] for o in out)
+
+
+# ---------------------------------------------------------------------------
+# Mixed addition (Jacobian p + affine q) — the MSM bucket-phase workhorse
+# ---------------------------------------------------------------------------
+#
+# madd-2007-bl: 11 field muls vs the general add's 16 (+8 for the fused
+# doubling path).  The doubling case (p == q, both finite) is NOT resolved
+# in-kernel: the kernel emits a per-lane `same` mask and a garbage result
+# for those lanes (Z3 = 0); callers apply a lax.cond fixup that doubles p
+# only when any lane collided — cryptographically negligible for MSM over
+# a CRS, so the hot path never pays for it.
+#
+# Affine infinity is encoded as (X, Y) = (0, 0), which is never a valid
+# curve point (y^2 = x^3 + 4 has no root at the origin for BLS12-381 and
+# its twist).
+
+def _madd_core(X1, Y1, Z1, X2, Y2, mul, add, sub, is_zero, sel, one):
+    Z1Z1 = mul(Z1, Z1)
+    U2 = mul(X2, Z1Z1)
+    S2 = mul(Y2, mul(Z1, Z1Z1))
+    H = sub(U2, X1)
+    r = sub(S2, Y1)
+    HH = mul(H, H)
+    I = add(add(HH, HH), add(HH, HH))
+    J = mul(H, I)
+    r2 = add(r, r)
+    V = mul(X1, I)
+    X3 = sub(sub(mul(r2, r2), J), add(V, V))
+    YJ = mul(Y1, J)
+    Y3 = sub(mul(r2, sub(V, X3)), add(YJ, YJ))
+    ZH = add(Z1, H)
+    Z3 = sub(sub(mul(ZH, ZH), Z1Z1), HH)
+
+    p_inf = is_zero(Z1)
+    q_inf = is_zero(X2) & is_zero(Y2)
+    same = is_zero(H) & is_zero(r) & ~p_inf & ~q_inf
+    # q_inf -> p; p_inf -> (X2, Y2, 1); both -> p (= infinity).
+    X3 = sel(q_inf, X1, sel(p_inf, X2, X3))
+    Y3 = sel(q_inf, Y1, sel(p_inf, Y2, Y3))
+    Z3 = sel(q_inf, Z1, sel(p_inf, one, Z3))
+    return X3, Y3, Z3, same
+
+
+def _point_madd_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref,
+                       ox_ref, oy_ref, oz_ref, os_ref,
+                       *, nl, p_limbs, nprime, one_limbs):
+    mul = lambda a, b: _fq_mul_body(a, b, p_limbs, nprime)
+    add = lambda a, b: _fq_add_body(a, b, p_limbs)
+    sub = lambda a, b: _fq_sub_body(a, b, p_limbs)
+    X1 = _read(x1_ref, nl); Y1 = _read(y1_ref, nl); Z1 = _read(z1_ref, nl)
+    X2 = _read(x2_ref, nl); Y2 = _read(y2_ref, nl)
+    one = [jnp.full_like(X1[0], jnp.uint32(v)) for v in one_limbs]
+    X3, Y3, Z3, same = _madd_core(
+        X1, Y1, Z1, X2, Y2, mul, add, sub, _fq_is_zero_body, _select_limbs,
+        one)
+    for j in range(nl):
+        ox_ref[j, :] = X3[j]
+        oy_ref[j, :] = Y3[j]
+        oz_ref[j, :] = Z3[j]
+    sm = same.astype(jnp.uint32)
+    for j in range(os_ref.shape[0]):
+        os_ref[j, :] = sm
+
+
+def _point_madd_kernel2(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref,
+                        ox_ref, oy_ref, oz_ref, os_ref,
+                        *, nl, p_limbs, nprime, one_limbs):
+    mul = lambda a, b: _fq2_mul_body(a, b, p_limbs, nprime)
+    add = lambda a, b: _fq2_add_body(a, b, p_limbs)
+    sub = lambda a, b: _fq2_sub_body(a, b, p_limbs)
+    X1 = _read2(x1_ref, nl); Y1 = _read2(y1_ref, nl); Z1 = _read2(z1_ref, nl)
+    X2 = _read2(x2_ref, nl); Y2 = _read2(y2_ref, nl)
+    zeros = [jnp.zeros_like(X1[0][0])] * nl
+    one = ([jnp.full_like(X1[0][0], jnp.uint32(v)) for v in one_limbs],
+           zeros)
+    X3, Y3, Z3, same = _madd_core(
+        X1, Y1, Z1, X2, Y2, mul, add, sub, _fq2_is_zero_body, _sel2, one)
+    _write2(ox_ref, X3, nl)
+    _write2(oy_ref, Y3, nl)
+    _write2(oz_ref, Z3, nl)
+    sm = same.astype(jnp.uint32)
+    for j in range(os_ref.shape[0]):
+        os_ref[j, :] = sm
+
+
+@functools.lru_cache(maxsize=16)
+def _madd_call(group: str, n: int, block: int, interpret: bool):
+    spec = F.FQ
+    nl = spec.nl
+    one_limbs = tuple(int(x) for x in F._int_to_limbs(spec.r_mod_p, nl))
+    common = dict(nl=nl, p_limbs=tuple(int(x) for x in spec.p_limbs),
+                  nprime=spec.nprime, one_limbs=one_limbs)
+    rows = nl if group == "g1" else 2 * nl
+    kernel = functools.partial(
+        _point_madd_kernel if group == "g1" else _point_madd_kernel2,
+        **common)
+    bs = pl.BlockSpec((rows, block), lambda i: (0, i),
+                      memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    bs_mask = pl.BlockSpec((8, block), lambda i: (0, i),
+                           memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((rows, n), jnp.uint32)
+                        for _ in range(3))
+        + (jax.ShapeDtypeStruct((8, n), jnp.uint32),),
+        grid=(n // block,),
+        in_specs=[bs] * 5,
+        out_specs=(bs, bs, bs, bs_mask),
+        interpret=interpret,
+    )
+
+
+def point_madd_pallas(p, q_aff, block: int = 256, interpret: bool = None):
+    """Fused G1 mixed add: p Jacobian, q affine (X, Y; (0,0) = infinity).
+
+    Returns ((X3, Y3, Z3), same) where `same` is a (n,) bool mask of lanes
+    that hit the p == q doubling case (their output is garbage, Z3 = 0);
+    see curve_jax.point_madd for the fixup."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n = p[0].shape[1]
+    blk = min(block, 1 << max(7, (n - 1).bit_length()))
+    npad = -(-n // blk) * blk
+    args = [_pad_to(x, npad) for x in (*p, *q_aff)]
+    ox, oy, oz, osm = _madd_call("g1", npad, blk, interpret)(*args)
+    return (tuple(o[:, :n] for o in (ox, oy, oz)),
+            osm[0, :n] != 0)
+
+
+def point_madd_pallas_g2(p, q_aff, block: int = 256, interpret: bool = None):
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n = p[0].shape[-1]
+    blk = min(block, 1 << max(7, (n - 1).bit_length()))
+    npad = -(-n // blk) * blk
+    args = [_pad_to(_flat2(x), npad) for x in (*p, *q_aff)]
+    ox, oy, oz, osm = _madd_call("g2", npad, blk, interpret)(*args)
+    return (tuple(_unflat2(o)[..., :n] for o in (ox, oy, oz)),
+            osm[0, :n] != 0)

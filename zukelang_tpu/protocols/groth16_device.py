@@ -40,10 +40,10 @@ class DeviceCRS:
     beta_g2: G2
     delta_g1: G1
     delta_g2: G2
-    ti1: C.Point               # {tau^i} G1, batch N (padded)
-    ti2: C.Point               # {tau^i} G2
-    ltd_mid: C.Point           # {L_k(tau)/delta} for mids
-    tiztd: C.Point             # {tau^i Z(tau)/delta}
+    ti1: C.AffinePoint         # {tau^i} G1, batch N (padded), affine (X, Y)
+    ti2: C.AffinePoint         # {tau^i} G2
+    ltd_mid: C.AffinePoint     # {L_k(tau)/delta} for mids
+    tiztd: C.AffinePoint       # {tau^i Z(tau)/delta}
     mids_idx: np.ndarray       # witness columns feeding ltd_mid
     n: int                     # domain size (degree of Z)
 
@@ -70,11 +70,14 @@ def _pad_scalars(scalars_mont: jnp.ndarray, n: int) -> jnp.ndarray:
     return scalars_mont[:, :n]
 
 
-def _pad_points(p: C.Point, n: int, group: str) -> C.Point:
+def _pad_points(p, n: int, group: str):
+    """Pad a Jacobian (X,Y,Z) or affine (X,Y) batch with infinities."""
     cur = p[0].shape[-1]
     if cur == n:
         return p
     inf = C.infinity_g1(n - cur) if group == "g1" else C.infinity_g2(n - cur)
+    if len(p) == 2:
+        inf = (inf[0], inf[2])  # affine infinity marker is (0, 0)
     return tuple(jnp.concatenate([a, b], axis=-1) for a, b in zip(p, inf))
 
 
@@ -169,11 +172,12 @@ def keygen_device(fc: flat_mod.FlatCircuit, mids: Sequence, ios: Sequence,
     ztd = z_tau * dinv % r
     tizd = [ti[i] * ztd % r for i in range(n - 1)]
 
-    # fixed-base batches
-    ti1 = _fixed_base_std(ti, "g1")
-    ti2 = _fixed_base_std(ti, "g2")
-    tiztd = _fixed_base_std(tizd, "g1")
-    ltd_mid = _fixed_base_mont(ltd_mid_sc, "g1")
+    # fixed-base batches, normalized to affine so every prove runs its
+    # MSM bucket phase on the 11-mul mixed add (curve_jax.point_madd)
+    ti1 = _to_affine("g1")(_fixed_base_std(ti, "g1"))
+    ti2 = _to_affine("g2")(_fixed_base_std(ti, "g2"))
+    tiztd = _to_affine("g1")(_fixed_base_std(tizd, "g1"))
+    ltd_mid = _to_affine("g1")(_fixed_base_mont(ltd_mid_sc, "g1"))
     ltgm_io_pts = C.unpack_g1(_fixed_base_mont(ltgm_io_sc, "g1"))
 
     g1 = G1.generator()
@@ -232,6 +236,12 @@ def _fixed_base_mont(scalars_mont: jnp.ndarray, group: str) -> C.Point:
     return _jit_fixed_base_mont(n, group)(_pad_scalars(scalars_mont, n))
 
 
+@functools.lru_cache(maxsize=4)
+def _to_affine(group: str):
+    ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
+    return jax.jit(functools.partial(C.to_affine, ops=ops))
+
+
 def prove_device(crs: DeviceCRS, fc: flat_mod.FlatCircuit,
                  witness_mont: jnp.ndarray, rng) -> "Proof":
     """Groth16 prove on device (groth16.ml:123-161).
@@ -287,7 +297,7 @@ def save_crs(path: str, crs: DeviceCRS) -> None:
     arrays = {}
     for name in ("ti1", "ti2", "ltd_mid", "tiztd"):
         pt = getattr(crs, name)
-        for i, coord in enumerate("xyz"):
+        for i, coord in enumerate("xyz"[: len(pt)]):
             arrays[f"{name}_{coord}"] = np.asarray(pt[i])
     arrays["mids_idx"] = crs.mids_idx
     arrays["n"] = np.array([crs.n])
@@ -306,7 +316,11 @@ def load_crs(path: str) -> DeviceCRS:
     z = np.load(path)
 
     def pt(name):
-        return tuple(jnp.asarray(z[f"{name}_{c}"]) for c in "xyz")
+        if f"{name}_z" in z.files:  # pre-affine checkpoint: normalize
+            jac = tuple(jnp.asarray(z[f"{name}_{c}"]) for c in "xyz")
+            grp = "g2" if name == "ti2" else "g1"
+            return _to_affine(grp)(jac)
+        return tuple(jnp.asarray(z[f"{name}_{c}"]) for c in "xy")
 
     return DeviceCRS(
         alpha_g1=_G1.of_compressed_bytes(z["alpha_g1"].tobytes()),

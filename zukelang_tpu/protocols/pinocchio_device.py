@@ -32,7 +32,7 @@ from ..golden.field import Fr
 from ..ops import curve_jax as C
 from ..ops import field_jax as F
 from .groth16_device import (_fixed_base_mont, _fixed_base_std, _msm_device,
-                             _pad_scalars, _unpack_many)
+                             _pad_scalars, _to_affine, _unpack_many)
 from .pinocchio import Proof, VKey
 
 
@@ -123,7 +123,8 @@ def keygen_device(fc: flat_mod.FlatCircuit, mids: Sequence, ios: Sequence,
                        dtype=np.int32)
 
     def mid_base(tab, group):
-        return _fixed_base_mont(tab[:, mids_idx], group)
+        # affine so the prover's 8 MSMs run the 11-mul mixed-add phase
+        return _to_affine(group)(_fixed_base_mont(tab[:, mids_idx], group))
 
     vv_p = mid_base(vv_s, "g1")
     ww_p = mid_base(ww_s, "g2")
@@ -132,8 +133,8 @@ def keygen_device(fc: flat_mod.FlatCircuit, mids: Sequence, ios: Sequence,
     waw_p = mid_base(waw_s, "g2")
     yay_p = mid_base(yay_s, "g1")
     bvwy_p = mid_base(bvwy_s, "g1")
-    v_all_p = _fixed_base_mont(v_at, "g1")
-    w_all_p = _fixed_base_mont(w_at, "g1")
+    v_all_p = _to_affine("g1")(_fixed_base_mont(v_at, "g1"))
+    w_all_p = _to_affine("g1")(_fixed_base_mont(w_at, "g1"))
 
     # io points are few: through the same device path, unpacked to golden.
     ios_sorted = sorted(ios)
@@ -147,8 +148,8 @@ def keygen_device(fc: flat_mod.FlatCircuit, mids: Sequence, ios: Sequence,
     for _ in range(n + 1):
         ti.append(acc)
         acc = acc * s.n % r
-    si = _fixed_base_std(ti, "g1")
-    si2 = _fixed_base_std(ti, "g2")
+    si = _to_affine("g1")(_fixed_base_std(ti, "g1"))
+    si2 = _to_affine("g2")(_fixed_base_std(ti, "g2"))
 
     g1 = G1.generator()
     g2 = G2.generator()
@@ -221,7 +222,8 @@ def prove_device(pkey: DevicePKey, fc: flat_mod.FlatCircuit,
     v_all, w_all = g1_pts[6:]
 
     # t(s) in the exponent: target = x^n - 1 -> g^{t(s)} = si[n] - si[0]
-    ends = C.unpack_g1(tuple(x[..., np.array([0, n])] for x in pkey.si))
+    ends = C.unpack_g1(C.affine_to_jac(
+        tuple(x[..., np.array([0, n])] for x in pkey.si), C.FQ_OPS))
     t_g1 = ends[1] - ends[0]
 
     h2 = (h_pt + v_all * dw + w_all * dv + t_g1 * (dv * dw)
