@@ -35,7 +35,7 @@ def rand_points_device(n: int, seed: int = 7):
 
 def main():
     logn = int(sys.argv[1]) if len(sys.argv) > 1 else 18
-    cs = [int(x) for x in sys.argv[2:]] or [None]
+    cs = [int(x) for x in sys.argv[2:] if not x.startswith('-')] or [None]
     n = 1 << logn
 
     rng = np.random.RandomState(11)
@@ -55,7 +55,7 @@ def main():
         golden_pts = [g * k for k in ks]
         expected = G1.dot(golden_pts, [Fr(s) for s in scalars])
 
-    variants = [("jac", P)]
+    variants = [] if "--no-jac" in sys.argv else [("jac", P)]
     if "--no-affine" not in sys.argv:
         t0 = time.time()
         Paff = C.to_affine(P, C.FQ_OPS)

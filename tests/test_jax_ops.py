@@ -303,3 +303,26 @@ def test_msm_staged_affine_bases():
     Paff = C.to_affine(C.pack_g1(pts), C.FQ_OPS)
     got = msm.msm_staged(Paff, F.pack(scs, F.FR), group="g1", c=4)
     assert got == G1.dot(pts, [Fr(s) for s in scs])
+
+
+@pytest.mark.parametrize("c", [5, 12, 16])
+def test_scalars_to_signed_windows(c):
+    scs = [0, 1, params.R - 1] + [random.randrange(params.R) for _ in range(5)]
+    S = F.pack(scs, F.FR)
+    d = np.asarray(msm._scalars_to_signed_windows(S, c))
+    half = 1 << (c - 1)
+    assert np.abs(d).max() <= half
+    for j, s in enumerate(scs):
+        assert sum(int(d[w, j]) << (w * c) for w in range(d.shape[0])) == s
+
+
+@pytest.mark.slow
+def test_msm_staged_signed_negative_digit_path():
+    # scalars chosen so signed window extraction produces negative digits
+    g = G1.generator()
+    N = 16
+    scs = [(1 << (5 * w)) - 1 for w in range(1, N + 1)]  # dense 1-bits
+    pts = [g * random.randrange(1, params.R) for _ in range(N)]
+    P, S = C.pack_g1(pts), F.pack(scs, F.FR)
+    got = msm.msm_staged(C.to_affine(P, C.FQ_OPS), S, group="g1", c=5)
+    assert got == G1.dot(pts, [Fr(s) for s in scs])

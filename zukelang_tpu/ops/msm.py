@@ -50,16 +50,53 @@ def _scalars_to_windows(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(outs, axis=0)
 
 
+def _scalars_to_signed_windows(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(nl, N) standard-form scalars -> (W, N) int32 SIGNED window digits in
+    [-(2^(c-1) - 1), 2^(c-1)], least-significant first: sum_w d_w 2^(cw) =
+    scalar.  Signed digits need only 2^(c-1)+1 buckets per window (|d| is
+    the bucket, the sign flips the point) — half the unsigned count.
+
+    The carry out of the top window is always absorbable: scalars are
+    < 2^255 and ceil(256/c) windows leave the top raw digit <= 2^(c-1)-1.
+    """
+    raw = _scalars_to_windows(scalars_std, c)
+    half = 1 << (c - 1)
+    full = 1 << c
+    outs = []
+    carry = jnp.zeros_like(raw[0])
+    for w in range(raw.shape[0]):
+        v = raw[w] + carry
+        ge = v > half
+        outs.append(jnp.where(ge, v - full, v))
+        carry = ge.astype(jnp.int32)
+    return jnp.stack(outs, axis=0)
+
+
 def auto_window(n: int) -> int:
-    """Window width minimizing ceil(256/c) * (a*N + b*2^c) under the
-    chunked-scan cost model (bucket work ~3.5 lanes/bucket, per-element
-    work ~1.3 lanes): roughly log2(N) - 4, clamped to [4, 16]."""
+    """Window width minimizing ceil(256/c) * (a*N + b*2^(c-1)) under the
+    signed-digit kernel cost model (bucket-reduce work ~3.5 lanes/bucket,
+    per-element scan work ~1.3 lanes), clamped to [4, 16]."""
     best, best_cost = 4, None
     for c in range(4, 17):
-        cost = -(-256 // c) * (1.3 * n + 3.5 * (1 << c))
+        cost = -(-256 // c) * (1.3 * n + 3.5 * (1 << (c - 1)))
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return best
+
+
+def _neg_y(y: jnp.ndarray) -> jnp.ndarray:
+    """Field negation of a Y coordinate batch (Fq or Fq2); the affine
+    infinity marker (0, 0) is preserved (neg 0 = 0)."""
+    if y.ndim == 2:
+        return F.neg(y, F.FQ)
+    return jnp.stack([F.neg(y[0], F.FQ), F.neg(y[1], F.FQ)])
+
+
+def _apply_signs(points, dig_signed: jnp.ndarray, ops: C.FieldOps):
+    """-> (points with Y negated where digit < 0, |digits| int32)."""
+    sign = dig_signed < 0
+    y = ops.select(sign, _neg_y(points[1]), points[1])
+    return (points[0], y) + tuple(points[2:]), jnp.abs(dig_signed)
 
 
 def _roll(x: jnp.ndarray, shift) -> jnp.ndarray:
@@ -100,6 +137,59 @@ def _hs_total(points: C.Point, ops: C.FieldOps) -> C.Point:
     seg = jnp.zeros(n, dtype=jnp.int32)
     X, Y, Z = _hs_segmented_scan(points, seg, ops)
     return X[..., -1:], Y[..., -1:], Z[..., -1:]
+
+
+def _shift1(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate(
+        [jnp.zeros_like(x[..., :1]), x[..., :-1]], axis=-1)
+
+
+def _seg_scan_auto(points: C.Point, seg: jnp.ndarray, ops: C.FieldOps,
+                   group: str = None, K: int = 32) -> C.Point:
+    """Inclusive segmented prefix sum along the batch axis (seg sorted).
+
+    On TPU with `group` set: one fused Pallas in-chunk scan (general adds,
+    collision-safe) + recursion over the N/K chunk tails + one full-width
+    carry application — O(N) add lanes in ~3 device ops per level instead
+    of the HS variant's log(N) full-width rounds."""
+    n = seg.shape[-1]
+    if (group is None or not F._use_pallas() or points[0].ndim > 3
+            or n % K != 0 or n // K < 2):
+        return _hs_segmented_scan(points, seg, ops)
+    from . import pallas_kernels as PK
+    scanned = PK.jac_scan_pallas(points, K, group, seg=seg)
+    M = n // K
+    last_seg = seg[K - 1::K]
+    first_seg = seg[0::K]
+    tails = tuple(x[..., K - 1::K] for x in scanned)
+    car = _seg_scan_auto(tails, last_seg, ops, group, K)
+    # carry into chunk m = scanned tail of chunk m-1 when its last segment
+    # continues into chunk m; applies to exactly the elements of chunk m's
+    # FIRST segment (seg sorted => those are the ones equal to first_seg).
+    match = jnp.concatenate(
+        [jnp.array([False]), last_seg[:-1] == first_seg[1:]])
+    cin = tuple(ops.select(match, _shift1(v), jnp.zeros_like(v))
+                for v in car)
+    elem_mask = (seg.reshape(M, K) == first_seg[:, None]).reshape(n)
+    cin_full = tuple(
+        jnp.repeat(v[..., :, None], K, axis=-1).reshape(v.shape[:-1] + (n,))
+        for v in cin)
+    cin_masked = tuple(ops.select(elem_mask, v, jnp.zeros_like(v))
+                       for v in cin_full)  # Z = 0 -> infinity: add is id
+    return C.point_add(scanned, cin_masked, ops)
+
+
+def _total_auto(points: C.Point, ops: C.FieldOps, group: str = None,
+                K: int = 32) -> C.Point:
+    """Sum of all points -> batch-1; recursive fused chunk scans on TPU."""
+    n = points[0].shape[-1]
+    if (group is None or not F._use_pallas() or points[0].ndim > 3
+            or n % K != 0 or n // K < 2):
+        return _hs_total(points, ops)
+    from . import pallas_kernels as PK
+    scanned = PK.jac_scan_pallas(points, K, group)
+    tails = tuple(x[..., K - 1::K] for x in scanned)
+    return _total_auto(tails, ops, group, K)
 
 
 def _scatter_tails(scanned: C.Point, d_sorted: jnp.ndarray, n_buckets: int,
@@ -199,37 +289,42 @@ def _bucket_sums_chunked(points, digits: jnp.ndarray,
     accX, accY, accZ, outX, outY, outZ = jax.lax.fori_loop(
         1, K, step, (*first, *out0))
 
-    # phase 2: cross-chunk carries — HS scan over the M chunk-end partials
-    # segmented by the chunk's LAST digit (a chunk with an internal
-    # boundary has first_seg < last_seg, so runs are exactly segment spans)
-    last_seg = d2[:, K - 1]
-    carX, carY, carZ = _hs_segmented_scan((accX, accY, accZ), last_seg, ops)
-    # carry_in[m] = scanned partial of chunk m-1 when its last digit equals
-    # chunk m's first digit; else infinity
-    first_seg = d2[:, 0]
-    inf_m = (jnp.zeros_like(carX[..., :1]).repeat(M, axis=-1),
-             jnp.zeros_like(carY[..., :1]).repeat(M, axis=-1),
-             jnp.zeros_like(carZ[..., :1]).repeat(M, axis=-1))
+    scan_flat = tuple(x.reshape(x.shape[:-2] + (n,))
+                      for x in (outX, outY, outZ))
+    return _carry_scatter(scan_flat, d_sorted, n_buckets, ops, infinity, K)
 
-    def shift1(x):
-        return jnp.concatenate(
-            [jnp.zeros_like(x[..., :1]), x[..., :-1]], axis=-1)
+
+def _carry_scatter(scan_flat: C.Point, d_sorted: jnp.ndarray, n_buckets: int,
+                   ops: C.FieldOps, infinity, K: int,
+                   group: str = None) -> C.Point:
+    """Phases 2+3 of the chunked bucket accumulation, from the flat
+    in-chunk scanned values (chunk m = sorted elements [m*K, (m+1)*K)).
+
+    Phase 2: cross-chunk carries — HS scan over the M chunk-end partials
+    segmented by the chunk's LAST digit (a chunk with an internal boundary
+    has first_seg < last_seg, so runs are exactly segment spans).
+
+    Phase 3: only segment TAILS feed the buckets, so carries need not be
+    applied across each chunk's whole first-segment prefix — only at the
+    tail of chunk m's first segment, i.e. at bucket first_seg[m], and only
+    when that tail actually lies in chunk m (the segment does not run
+    through to chunk m+1; if it does, the HS scan already folded chunk m's
+    partial into a later chunk's carry-in)."""
+    n = d_sorted.shape[0]
+    M = n // K
+    last_seg = d_sorted[K - 1::K]
+    first_seg = d_sorted[0::K]
+    acc = tuple(x[..., K - 1::K] for x in scan_flat)
+    carX, carY, carZ = _seg_scan_auto(acc, last_seg, ops, group)
+    # carry_in[m] = scanned partial of chunk m-1 when its last digit equals
+    # chunk m's first digit; else infinity (zeroed arrays have Z == 0).
 
     match = jnp.concatenate(
         [jnp.array([False]), last_seg[:-1] == first_seg[1:]])
-    cinX = ops.select(match, shift1(carX), inf_m[0])
-    cinY = ops.select(match, shift1(carY), inf_m[1])
-    cinZ = ops.select(match, shift1(carZ), inf_m[2])
-    # NB: infinity must be Z == 0; zeroed X/Y/Z arrays satisfy that.
+    cinX = ops.select(match, _shift1(carX), jnp.zeros_like(carX))
+    cinY = ops.select(match, _shift1(carY), jnp.zeros_like(carY))
+    cinZ = ops.select(match, _shift1(carZ), jnp.zeros_like(carZ))
 
-    # phase 3: only segment TAILS feed the buckets, so carries need not be
-    # applied across each chunk's whole first-segment prefix — only at the
-    # tail of chunk m's first segment, i.e. at bucket first_seg[m], and
-    # only when that tail actually lies in chunk m (the segment does not
-    # run through to chunk m+1; if it does, the HS scan already folded
-    # chunk m's partial into a later chunk's carry-in).
-    scan_flat = tuple(x.reshape(x.shape[:-2] + (n,))
-                      for x in (outX, outY, outZ))
     bX, bY, bZ = _scatter_tails(scan_flat, d_sorted, n_buckets, infinity)
 
     continues = jnp.concatenate(
@@ -249,13 +344,61 @@ def _bucket_sums_chunked(points, digits: jnp.ndarray,
     return C.point_add((bX, bY, bZ), carry_b, ops)
 
 
+def _bucket_sums_fused(points, digits: jnp.ndarray, n_buckets: int,
+                       ops: C.FieldOps, infinity, group: str,
+                       K: int = 32) -> C.Point:
+    """Bucket accumulation with phase 1 as ONE fused Pallas kernel (the
+    whole in-chunk segmented mixed-add scan runs in VMEM) instead of an
+    XLA fori_loop of K separate madd launches.
+
+    `points` must be affine.  Lanes that hit the doubling-degenerate mixed
+    add are flagged by the kernel and the whole window falls back to the
+    safe log-depth path under a lax.cond — runtime-free unless it fires."""
+    n = digits.shape[0]
+    if n % K != 0 or n // K < 2:
+        return _bucket_sums(C.affine_to_jac(points, ops), digits, n_buckets,
+                            ops, infinity)
+    from . import pallas_kernels as PK
+    order = jnp.argsort(digits)
+    d_sorted = digits[order]
+    pts = tuple(x[..., order] for x in points)
+    scanned, collided = PK.bucket_scan_pallas(pts, d_sorted, K, group)
+
+    def good(_):
+        return _carry_scatter(scanned, d_sorted, n_buckets, ops, infinity, K,
+                              group)
+
+    def bad(_):
+        return _bucket_sums(C.affine_to_jac(pts, ops), d_sorted, n_buckets,
+                            ops, infinity)
+
+    return jax.lax.cond(jnp.any(collided), bad, good, 0)
+
+
 def _chunked_prefix_scan(points: C.Point, ops: C.FieldOps,
-                         K: int) -> C.Point:
+                         K: int, group: str = None) -> C.Point:
     """Work-efficient unsegmented inclusive prefix sum along the batch
     axis: K sequential in-chunk steps (N total add lanes), an HS scan over
-    the N/K chunk totals, one N-wide carry application."""
+    the N/K chunk totals, one N-wide carry application.
+
+    With `group` set on a TPU backend, the in-chunk phase runs as one
+    fused Pallas kernel (jac_scan_pallas) instead of a fori_loop of K
+    separate point_add launches."""
     n = points[0].shape[-1]
     M = n // K
+
+    if group is not None and F._use_pallas() and points[0].ndim <= 3:
+        from . import pallas_kernels as PK
+        scanned = PK.jac_scan_pallas(points, K, group)
+        tot = tuple(x[..., K - 1::K] for x in scanned)
+        seg = jnp.zeros(M, dtype=jnp.int32)
+        carX, carY, carZ = _seg_scan_auto(tot, seg, ops, group)
+        carry_full = tuple(
+            jnp.repeat(_shift1(x)[..., :, None], K, axis=-1)
+            .reshape(x.shape[:-1] + (n,))
+            for x in (carX, carY, carZ))  # Z = 0 rows = infinity
+        return C.point_add(scanned, carry_full, ops)
+
     p2 = tuple(x.reshape(x.shape[:-1] + (M, K)) for x in points)
 
     def step(t, st):
@@ -295,10 +438,15 @@ def _chunked_prefix_scan(points: C.Point, ops: C.FieldOps,
     return C.point_add(flat, carry_full, ops)
 
 
-def _chunked_total(points: C.Point, ops: C.FieldOps, K: int) -> C.Point:
+def _chunked_total(points: C.Point, ops: C.FieldOps, K: int,
+                   group: str = None) -> C.Point:
     """Sum of all points: K sequential adds over N/K lanes + HS total."""
     n = points[0].shape[-1]
     M = n // K
+
+    if group is not None and F._use_pallas() and points[0].ndim <= 3:
+        return _total_auto(points, ops, group, K)
+
     p2 = tuple(x.reshape(x.shape[:-1] + (M, K)) for x in points)
 
     def step(t, acc):
@@ -311,10 +459,12 @@ def _chunked_total(points: C.Point, ops: C.FieldOps, K: int) -> C.Point:
 
 
 def _weighted_bucket_reduce(buckets: C.Point, ops: C.FieldOps,
-                            infinity, K: int = 64) -> C.Point:
+                            infinity, K: int = 64,
+                            group: str = None) -> C.Point:
     """sum_{b=1}^{B-1} b * S_b via suffix sums: T_j = sum_{b>=j} S_b,
     result = sum_{j>=1} T_j.  Work-efficient (chunked) when B divides K;
-    falls back to the log-depth HS scan otherwise."""
+    falls back to the log-depth HS scan otherwise.  `group` enables the
+    fused Pallas scan kernels on TPU."""
     X, Y, Z = buckets
     inf1 = infinity(1)
     X = X.at[..., 0:1].set(inf1[0])  # weight of bucket 0 is 0
@@ -323,7 +473,7 @@ def _weighted_bucket_reduce(buckets: C.Point, ops: C.FieldOps,
     rev = (X[..., ::-1], Y[..., ::-1], Z[..., ::-1])
     B = X.shape[-1]
     if B % K == 0 and B // K >= 2:
-        sX, sY, sZ = _chunked_prefix_scan(rev, ops, K)  # sX[k] = T_{B-1-k}
+        sX, sY, sZ = _chunked_prefix_scan(rev, ops, K, group)  # sX[k] = T_{B-1-k}
     else:
         seg = jnp.zeros(B, dtype=jnp.int32)
         sX, sY, sZ = _hs_segmented_scan(rev, seg, ops)
@@ -334,8 +484,19 @@ def _weighted_bucket_reduce(buckets: C.Point, ops: C.FieldOps,
     sY = sY.at[..., -1:].set(inf1[1])
     sZ = sZ.at[..., -1:].set(inf1[2])
     if B % K == 0 and B // K >= 2:
-        return _chunked_total((sX, sY, sZ), ops, K)
+        return _chunked_total((sX, sY, sZ), ops, K, group)
     return _hs_total((sX, sY, sZ), ops)
+
+
+def _pad_buckets(buckets: C.Point, nb_to: int, infinity) -> C.Point:
+    """Pad a bucket array at the high end with infinities (weight b*inf
+    contributes nothing to the weighted reduce)."""
+    cur = buckets[0].shape[-1]
+    if cur >= nb_to:
+        return buckets
+    inf = infinity(nb_to - cur)
+    return tuple(jnp.concatenate([a, b], axis=-1)
+                 for a, b in zip(buckets, inf))
 
 
 def _msm_impl(points, scalars_std: jnp.ndarray, c: int,
@@ -390,20 +551,33 @@ def msm_g2(points: C.Point, scalars_std: jnp.ndarray, c: int = 8) -> C.Point:
 
 @functools.lru_cache(maxsize=64)
 def _jit_window(group: str, c: int, chunked: bool = True,
-                affine: bool = False):
+                affine: bool = False, signed: bool = True):
+    """One compiled Pippenger window: signed digits in, weighted bucket sum
+    (batch-1 point) out.  On TPU with affine bases the bucket phase runs as
+    the fused Pallas scan kernel."""
     ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
     infinity = C.infinity_g1 if group == "g1" else C.infinity_g2
+    fused = affine and F._use_pallas()
 
-    def bucket_fn(points, dig, nb, ops, infinity):
+    def bucket_fn(points, dig, nb):
+        if fused:
+            return _bucket_sums_fused(points, dig, nb, ops, infinity, group)
         if not chunked:
-            if affine:
-                points = C.affine_to_jac(points, ops)
-            return _bucket_sums(points, dig, nb, ops, infinity)
+            pts = C.affine_to_jac(points, ops) if affine else points
+            return _bucket_sums(pts, dig, nb, ops, infinity)
         return _bucket_sums_chunked(points, dig, nb, ops, infinity)
 
     def run(points, dig):
-        return _weighted_bucket_reduce(
-            bucket_fn(points, dig, 1 << c, ops, infinity), ops, infinity)
+        if signed:
+            points, dig = _apply_signs(points, dig, ops)
+            nb = (1 << (c - 1)) + 1
+        else:
+            nb = 1 << c
+        buckets = bucket_fn(points, dig, nb)
+        nb_pad = -(-nb // 64) * 64 if nb >= 128 else nb
+        buckets = _pad_buckets(buckets, nb_pad, infinity)
+        return _weighted_bucket_reduce(buckets, ops, infinity,
+                                       group=group if fused else None)
 
     return jax.jit(run)
 
@@ -411,6 +585,11 @@ def _jit_window(group: str, c: int, chunked: bool = True,
 @functools.lru_cache(maxsize=8)
 def _jit_windows_extract(c: int):
     return jax.jit(functools.partial(_scalars_to_windows, c=c))
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_signed_windows_extract(c: int):
+    return jax.jit(functools.partial(_scalars_to_signed_windows, c=c))
 
 
 @functools.lru_cache(maxsize=32)
@@ -449,7 +628,7 @@ def msm_staged_device(points, scalars_std: jnp.ndarray,
     curve_jax.to_affine for the once-per-CRS normalization)."""
     if c is None:
         c = auto_window(points[0].shape[-1])
-    digits = _jit_windows_extract(c)(scalars_std)
+    digits = _jit_signed_windows_extract(c)(scalars_std)
     n_windows = digits.shape[0]
     wfn = _jit_window(group, c, affine=len(points) == 2)
     dev_results = [wfn(points, digits[w]) for w in range(n_windows)]

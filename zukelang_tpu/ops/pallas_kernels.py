@@ -679,3 +679,346 @@ def point_madd_pallas_g2(p, q_aff, block: int = 256, interpret: bool = None):
     ox, oy, oz, osm = _madd_call("g2", npad, blk, interpret)(*args)
     return (tuple(_unflat2(o)[..., :n] for o in (ox, oy, oz)),
             osm[0, :n] != 0)
+
+
+# ---------------------------------------------------------------------------
+# Fused MSM bucket-accumulation scan (the Pippenger phase-1 workhorse)
+# ---------------------------------------------------------------------------
+#
+# One kernel runs the whole in-chunk segmented scan: points arrive sorted by
+# bucket and reshaped (K, rows, M) — lane m's chunk is sorted[m*K .. m*K+K-1]
+# along the leading K axis — and the kernel walks t = 0..K-1 with the mixed
+# add, keeping the accumulator in VMEM the whole time.  This replaces an XLA
+# fori_loop whose every step launched a separate madd kernel and round-
+# tripped the accumulator through HBM (the dominant cost of the round-1 MSM).
+#
+# Contract (same as point_madd_pallas): a lane whose madd hits the doubling-
+# degenerate case (acc == cur, both finite) produces garbage and raises the
+# collision flag; the caller falls back to the safe log-depth path under a
+# lax.cond.  For MSM over a CRS this is cryptographically negligible, so the
+# hot path stays at 11 muls per point.
+
+def _seg_scan_kernel(seg_ref, segp_ref, xs_ref, ys_ref,
+                     ox_ref, oy_ref, oz_ref, fl_ref, acc_ref,
+                     *, fq2, nl, p_limbs, nprime, one_limbs):
+    """One grid step (lane-block i, chunk position t): mixed-add the
+    accumulator (VMEM scratch, persisting across the sequential t axis)
+    with the current point, resetting at segment starts.
+
+    acc_ref rows: [0, 3*rows) = accumulator X/Y/Z limbs, row 3*rows =
+    collision flag."""
+    t = pl.program_id(1)
+    if fq2:
+        mul = lambda a, b: _fq2_mul_body(a, b, p_limbs, nprime)
+        add = lambda a, b: _fq2_add_body(a, b, p_limbs)
+        sub = lambda a, b: _fq2_sub_body(a, b, p_limbs)
+        is_zero, sel = _fq2_is_zero_body, _sel2
+        n_rows = 2 * nl
+        read = lambda ref3: ([ref3[0, j, :] for j in range(nl)],
+                             [ref3[0, nl + j, :] for j in range(nl)])
+        read_acc = lambda off: ([acc_ref[off + j, :] for j in range(nl)],
+                                [acc_ref[off + nl + j, :] for j in range(nl)])
+        flat = lambda x: list(x[0]) + list(x[1])
+    else:
+        mul = lambda a, b: _fq_mul_body(a, b, p_limbs, nprime)
+        add = lambda a, b: _fq_add_body(a, b, p_limbs)
+        sub = lambda a, b: _fq_sub_body(a, b, p_limbs)
+        is_zero, sel = _fq_is_zero_body, _select_limbs
+        n_rows = nl
+        read = lambda ref3: [ref3[0, j, :] for j in range(nl)]
+        read_acc = lambda off: [acc_ref[off + j, :] for j in range(nl)]
+        flat = lambda x: list(x)
+
+    CX = read(xs_ref)
+    CY = read(ys_ref)
+    lane0 = CX[0][0] if fq2 else CX[0]
+    one_fq = [jnp.full_like(lane0, jnp.uint32(v)) for v in one_limbs]
+    zeros_fq = [jnp.zeros_like(lane0)] * nl
+    one = (one_fq, zeros_fq) if fq2 else one_fq
+    zero_pt = (zeros_fq, zeros_fq) if fq2 else zeros_fq
+
+    cinf = is_zero(CX) & is_zero(CY)
+    CZ = sel(cinf, zero_pt, one)  # affine (0,0) marker -> Z = 0
+
+    accX = read_acc(0)
+    accY = read_acc(n_rows)
+    accZ = read_acc(2 * n_rows)
+    X3, Y3, Z3, col = _madd_core(
+        accX, accY, accZ, CX, CY, mul, add, sub, is_zero, sel, one)
+
+    same_seg = (seg_ref[0, 0, :] == segp_ref[0, 0, :]) & (t > 0)
+    X3 = sel(same_seg, X3, CX)
+    Y3 = sel(same_seg, Y3, CY)
+    Z3 = sel(same_seg, Z3, CZ)
+    flag_prev = jnp.where(t > 0, acc_ref[3 * n_rows, :], jnp.uint32(0))
+    flag = flag_prev | (col & same_seg).astype(jnp.uint32)
+
+    fX, fY, fZ = flat(X3), flat(Y3), flat(Z3)
+    for j in range(n_rows):
+        acc_ref[j, :] = fX[j]
+        acc_ref[n_rows + j, :] = fY[j]
+        acc_ref[2 * n_rows + j, :] = fZ[j]
+        ox_ref[0, j, :] = fX[j]
+        oy_ref[0, j, :] = fY[j]
+        oz_ref[0, j, :] = fZ[j]
+    acc_ref[3 * n_rows, :] = flag
+    for j in range(fl_ref.shape[0]):
+        fl_ref[j, :] = flag
+
+
+@functools.lru_cache(maxsize=16)
+def _seg_scan_call(group: str, K: int, m: int, block: int, interpret: bool):
+    spec = F.FQ
+    nl = spec.nl
+    fq2 = group == "g2"
+    rows = 2 * nl if fq2 else nl
+    one_limbs = tuple(int(x) for x in F._int_to_limbs(spec.r_mod_p, nl))
+    kernel = functools.partial(
+        _seg_scan_kernel, fq2=fq2, nl=nl,
+        p_limbs=tuple(int(x) for x in spec.p_limbs), nprime=spec.nprime,
+        one_limbs=one_limbs)
+    bs3 = pl.BlockSpec((1, rows, block), lambda i, t: (t, 0, i),
+                       memory_space=pl.ANY if interpret else pltpu.VMEM)
+    bs_seg = pl.BlockSpec((1, 1, block), lambda i, t: (t, 0, i),
+                          memory_space=pl.ANY if interpret else pltpu.VMEM)
+    bs_fl = pl.BlockSpec((8, block), lambda i, t: (0, i),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((K, rows, m), jnp.uint32)
+                        for _ in range(3))
+        + (jax.ShapeDtypeStruct((8, m), jnp.uint32),),
+        grid=(m // block, K),
+        in_specs=[bs_seg, bs_seg, bs3, bs3],
+        out_specs=(bs3, bs3, bs3, bs_fl),
+        scratch_shapes=[pltpu.VMEM((3 * rows + 1, block), jnp.uint32)],
+        interpret=interpret,
+    )
+
+
+def bucket_scan_pallas(pts_sorted, seg_sorted, K: int, group: str = "g1",
+                       block: int = None, interpret: bool = None):
+    """In-chunk segmented scan over sorted affine points.
+
+    pts_sorted: (X, Y) affine, coordinates (nl, N) for G1 / (2, nl, N) for
+    G2, already in bucket-sorted order; seg_sorted: (N,) int32 bucket ids.
+    N must be a multiple of K.
+
+    Returns (scanned (X, Y, Z) in the same flat layout, collided (N/K,)
+    bool per-lane flag).  scanned[.., i] is the inclusive segmented prefix
+    sum of chunk i//K up to position i%K; lanes that hit the doubling-
+    degenerate mixed add are garbage and flagged."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if block is None:
+        block = 512 if group == "g1" else 256
+    n = seg_sorted.shape[0]
+    assert n % K == 0
+    m = n // K
+
+    def to3(x):
+        # (rows, N) -> (K, rows, M): [t, :, lane] = sorted[lane*K + t]
+        rows = x.shape[0]
+        return x.reshape(rows, m, K).transpose(2, 0, 1)
+
+    xs = to3(_flat2(pts_sorted[0]) if group == "g2" else pts_sorted[0])
+    ys = to3(_flat2(pts_sorted[1]) if group == "g2" else pts_sorted[1])
+    seg3 = seg_sorted.reshape(m, K).T[:, None, :]  # (K, 1, M)
+    # segp[t] = seg[t-1] (t = 0 row is unused: the kernel masks with t > 0)
+    segp = jnp.concatenate([seg3[:1], seg3[:-1]], axis=0)
+
+    blk = min(block, 1 << max(7, (m - 1).bit_length()))
+    mpad = -(-m // blk) * blk
+    if mpad != m:
+        pad3 = ((0, 0), (0, 0), (0, mpad - m))
+        xs = jnp.pad(xs, pad3)
+        ys = jnp.pad(ys, pad3)
+        seg3 = jnp.pad(seg3, ((0, 0), (0, 0), (0, mpad - m)))
+        segp = jnp.pad(segp, ((0, 0), (0, 0), (0, mpad - m)))
+
+    ox, oy, oz, fl = _seg_scan_call(group, K, mpad, blk, interpret)(
+        seg3, segp, xs, ys)
+
+    def back(o):
+        # (K, rows, Mpad) -> (rows, N)
+        o = o[:, :, :m].transpose(1, 2, 0).reshape(o.shape[1], n)
+        return _unflat2(o) if group == "g2" else o
+
+    return (back(ox), back(oy), back(oz)), fl[0, :m] != 0
+
+
+# ---------------------------------------------------------------------------
+# Fused unsegmented Jacobian prefix scan (bucket-reduction workhorse)
+# ---------------------------------------------------------------------------
+#
+# Same chunked layout as bucket_scan_pallas but with the full Jacobian add
+# (all special cases resolved in-formula, no flag needed): used for the
+# suffix sums of the weighted bucket reduction.
+
+def _jac_scan_kernel(*refs, segmented, fq2, nl, p_limbs, nprime):
+    """One grid step of the Jacobian prefix scan: add the current point
+    into the VMEM-resident accumulator (full group law, all special
+    cases).  In segmented mode the accumulator resets at segment starts
+    (refs gain leading seg/segp blocks)."""
+    if segmented:
+        seg_ref, segp_ref, xs_ref, ys_ref, zs_ref = refs[:5]
+        ox_ref, oy_ref, oz_ref, acc_ref = refs[5:]
+    else:
+        xs_ref, ys_ref, zs_ref, ox_ref, oy_ref, oz_ref, acc_ref = refs
+    t = pl.program_id(1)
+    if fq2:
+        mul = lambda a, b: _fq2_mul_body(a, b, p_limbs, nprime)
+        add = lambda a, b: _fq2_add_body(a, b, p_limbs)
+        sub = lambda a, b: _fq2_sub_body(a, b, p_limbs)
+        is_zero, sel = _fq2_is_zero_body, _sel2
+        dbl = lambda X, Y, Z: _double_body2(X, Y, Z, p_limbs, nprime)
+        n_rows = 2 * nl
+        read = lambda ref3: ([ref3[0, j, :] for j in range(nl)],
+                             [ref3[0, nl + j, :] for j in range(nl)])
+        read_acc = lambda off: ([acc_ref[off + j, :] for j in range(nl)],
+                                [acc_ref[off + nl + j, :] for j in range(nl)])
+        flat = lambda x: list(x[0]) + list(x[1])
+    else:
+        mul = lambda a, b: _fq_mul_body(a, b, p_limbs, nprime)
+        add = lambda a, b: _fq_add_body(a, b, p_limbs)
+        sub = lambda a, b: _fq_sub_body(a, b, p_limbs)
+        is_zero, sel = _fq_is_zero_body, _select_limbs
+        dbl = lambda X, Y, Z: _double_body(X, Y, Z, p_limbs, nprime)
+        n_rows = nl
+        read = lambda ref3: [ref3[0, j, :] for j in range(nl)]
+        read_acc = lambda off: [acc_ref[off + j, :] for j in range(nl)]
+        flat = lambda x: list(x)
+
+    def padd(P, Q):
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        Z1Z1 = mul(Z1, Z1)
+        Z2Z2 = mul(Z2, Z2)
+        U1 = mul(X1, Z2Z2)
+        U2 = mul(X2, Z1Z1)
+        S1 = mul(mul(Y1, Z2), Z2Z2)
+        S2 = mul(mul(Y2, Z1), Z1Z1)
+        H = sub(U2, U1)
+        r = sub(S2, S1)
+        H2 = add(H, H)
+        I = mul(H2, H2)
+        J = mul(H, I)
+        r2 = add(r, r)
+        V = mul(U1, I)
+        X3 = sub(sub(mul(r2, r2), J), add(V, V))
+        S1J = mul(S1, J)
+        Y3 = sub(mul(r2, sub(V, X3)), add(S1J, S1J))
+        Zs = mul(add(Z1, Z2), add(Z1, Z2))
+        Z3 = mul(sub(sub(Zs, Z1Z1), Z2Z2), H)
+        p_inf = is_zero(Z1)
+        q_inf = is_zero(Z2)
+        same = is_zero(H) & is_zero(r) & ~p_inf & ~q_inf
+        dX, dY, dZ = dbl(X1, Y1, Z1)
+        X3 = sel(same, dX, X3)
+        Y3 = sel(same, dY, Y3)
+        Z3 = sel(same, dZ, Z3)
+        X3 = sel(q_inf, X1, sel(p_inf, X2, X3))
+        Y3 = sel(q_inf, Y1, sel(p_inf, Y2, Y3))
+        Z3 = sel(q_inf, Z1, sel(p_inf, Z2, Z3))
+        return X3, Y3, Z3
+
+    CX = read(xs_ref)
+    CY = read(ys_ref)
+    CZ = read(zs_ref)
+    accX = read_acc(0)
+    accY = read_acc(n_rows)
+    accZ = read_acc(2 * n_rows)
+    X3, Y3, Z3 = padd((accX, accY, accZ), (CX, CY, CZ))
+    if segmented:
+        cont = (seg_ref[0, 0, :] == segp_ref[0, 0, :]) & (t > 0)
+        X3 = sel(cont, X3, CX)
+        Y3 = sel(cont, Y3, CY)
+        Z3 = sel(cont, Z3, CZ)
+    else:
+        first = t == 0
+        X3 = sel(first, CX, X3)
+        Y3 = sel(first, CY, Y3)
+        Z3 = sel(first, CZ, Z3)
+    fX, fY, fZ = flat(X3), flat(Y3), flat(Z3)
+    for j in range(n_rows):
+        acc_ref[j, :] = fX[j]
+        acc_ref[n_rows + j, :] = fY[j]
+        acc_ref[2 * n_rows + j, :] = fZ[j]
+        ox_ref[0, j, :] = fX[j]
+        oy_ref[0, j, :] = fY[j]
+        oz_ref[0, j, :] = fZ[j]
+
+
+@functools.lru_cache(maxsize=32)
+def _jac_scan_call(group: str, K: int, m: int, block: int, interpret: bool,
+                   segmented: bool = False):
+    spec = F.FQ
+    nl = spec.nl
+    fq2 = group == "g2"
+    rows = 2 * nl if fq2 else nl
+    kernel = functools.partial(
+        _jac_scan_kernel, segmented=segmented, fq2=fq2, nl=nl,
+        p_limbs=tuple(int(x) for x in spec.p_limbs), nprime=spec.nprime)
+    bs3 = pl.BlockSpec((1, rows, block), lambda i, t: (t, 0, i),
+                       memory_space=pl.ANY if interpret else pltpu.VMEM)
+    bs_seg = pl.BlockSpec((1, 1, block), lambda i, t: (t, 0, i),
+                          memory_space=pl.ANY if interpret else pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((K, rows, m), jnp.uint32)
+                        for _ in range(3)),
+        grid=(m // block, K),
+        in_specs=([bs_seg, bs_seg] if segmented else []) + [bs3, bs3, bs3],
+        out_specs=(bs3, bs3, bs3),
+        scratch_shapes=[pltpu.VMEM((3 * rows, block), jnp.uint32)],
+        interpret=interpret,
+    )
+
+
+def jac_scan_pallas(points, K: int, group: str = "g1",
+                    block: int = None, interpret: bool = None,
+                    seg: jnp.ndarray = None):
+    """Per-chunk inclusive prefix scan of Jacobian points: lane i's chunk is
+    points[i*K .. i*K+K-1]; returns scanned points in the same flat layout.
+    All group-law special cases handled (safe for arbitrary inputs).
+
+    With `seg` (an (N,) int32 of sorted segment ids) the scan restarts at
+    every in-chunk segment boundary (the cross-chunk carry utility in
+    ops.msm composes chunk-level results)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if block is None:
+        block = 512 if group == "g1" else 256
+    n = points[0].shape[-1]
+    assert n % K == 0
+    m = n // K
+
+    def to3(x):
+        rows = x.shape[0]
+        return x.reshape(rows, m, K).transpose(2, 0, 1)
+
+    flat_in = [(_flat2(x) if group == "g2" else x) for x in points]
+    xs, ys, zs = (to3(x) for x in flat_in)
+    blk = min(block, 1 << max(7, (m - 1).bit_length()))
+    mpad = -(-m // blk) * blk
+    if mpad != m:
+        pad3 = ((0, 0), (0, 0), (0, mpad - m))
+        xs, ys, zs = (jnp.pad(v, pad3) for v in (xs, ys, zs))
+
+    if seg is None:
+        ox, oy, oz = _jac_scan_call(group, K, mpad, blk, interpret)(
+            xs, ys, zs)
+    else:
+        seg3 = seg.reshape(m, K).T[:, None, :]  # (K, 1, M)
+        segp = jnp.concatenate([seg3[:1], seg3[:-1]], axis=0)
+        if mpad != m:
+            seg3 = jnp.pad(seg3, ((0, 0), (0, 0), (0, mpad - m)))
+            segp = jnp.pad(segp, ((0, 0), (0, 0), (0, mpad - m)))
+        ox, oy, oz = _jac_scan_call(group, K, mpad, blk, interpret,
+                                    segmented=True)(seg3, segp, xs, ys, zs)
+
+    def back(o):
+        o = o[:, :, :m].transpose(1, 2, 0).reshape(o.shape[1], n)
+        return _unflat2(o) if group == "g2" else o
+
+    return back(ox), back(oy), back(oz)
