@@ -1,0 +1,127 @@
+"""TPU-only regression tests for the fused MSM kernels.
+
+These exercise compiled Mosaic kernels (bucket scan, Jacobian scan,
+bitonic sort) against golden results.  They are skipped on the CPU CI
+backend: interpret-mode execution of the scan kernels (tens of thousands
+of interpreted ops per grid step) is far too slow — the same logic is
+covered there through the XLA fallback paths in tests/test_jax_ops.py.
+
+Run on a TPU host:  python -m pytest tests/test_pallas_tpu.py -q
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zukelang_tpu import params
+from zukelang_tpu.golden.curve import G1
+from zukelang_tpu.golden.field import Fr
+from zukelang_tpu.ops import curve_jax as C
+from zukelang_tpu.ops import field_jax as F
+from zukelang_tpu.ops import msm
+from zukelang_tpu.ops import pallas_kernels as PK
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="compiled Pallas kernels need a TPU backend")
+
+random.seed(7)
+
+
+def _points(n):
+    g = G1.generator()
+    ks = [random.randrange(1, 1 << 30) for _ in range(n)]
+    pts = [g * k for k in ks]
+    return pts, C.to_affine(C.pack_g1(pts), C.FQ_OPS)
+
+
+def test_bitonic_argsort_matches_numpy():
+    rng = np.random.RandomState(0)
+    for n in (300, 4096):
+        keys = rng.randint(0, 1 << 15, size=n).astype(np.int32)
+        sk, order = jax.jit(PK.bitonic_argsort)(jnp.asarray(keys))
+        sk, order = np.asarray(sk), np.asarray(order)
+        assert (np.sort(keys) == sk).all()
+        assert (keys[order] == sk).all()
+        assert len(set(order.tolist())) == n
+
+
+def test_bucket_scan_matches_log_depth():
+    n, K, nb = 512, 16, 9
+    pts, Paff = _points(n)
+    digits = jnp.asarray(
+        np.random.RandomState(1).randint(0, nb, size=n).astype(np.int32))
+    order = jnp.argsort(digits)
+    d_sorted = digits[order]
+    psort = tuple(x[..., order] for x in Paff)
+    scanned, collided = PK.bucket_scan_pallas(psort, d_sorted, K, "g1")
+    assert not bool(jnp.any(collided))
+    got = msm._carry_scatter(scanned, d_sorted, nb, C.FQ_OPS,
+                             C.infinity_g1, K, "g1")
+    ref = msm._bucket_sums(C.affine_to_jac(psort, C.FQ_OPS), d_sorted, nb,
+                           C.FQ_OPS, C.infinity_g1)
+    assert C.unpack_g1(got) == C.unpack_g1(ref)
+
+
+def test_bucket_scan_collision_flag_and_fallback():
+    g = G1.generator()
+    K = 16
+    dup = [g * 5] * K
+    Pd = C.to_affine(C.pack_g1(dup), C.FQ_OPS)
+    _, col = PK.bucket_scan_pallas(Pd, jnp.zeros(K, jnp.int32), K, "g1")
+    assert bool(jnp.any(col))
+    # full window program must still produce the right MSM via the cond
+    S = F.pack([7] * 64, F.FR)
+    got = msm.msm_staged(C.to_affine(C.pack_g1([g * 5] * 64), C.FQ_OPS), S,
+                         group="g1", c=6)
+    assert got == g * (5 * 7 * 64)
+
+
+def test_jac_scan_matches_golden():
+    n, K = 256, 16
+    pts, _ = _points(n)
+    P = C.pack_g1(pts)
+    sc = PK.jac_scan_pallas(P, K, "g1")
+    got = C.unpack_g1(sc)
+    exp = []
+    for lane in range(n // K):
+        acc = G1.zero()
+        for t in range(K):
+            acc = acc + pts[lane * K + t]
+            exp.append(acc)
+    assert got == exp
+
+
+def test_staged_msm_fused_matches_golden():
+    n = 512
+    pts, Paff = _points(n)
+    scs = [random.randrange(params.R) for _ in range(n)]
+    S = F.pack(scs, F.FR)
+    expected = G1.dot(pts, [Fr(s) for s in scs])
+    for c in (8, 13):
+        assert msm.msm_staged(Paff, S, group="g1", c=c) == expected
+
+
+def test_fixed_base_table_device_matches_golden():
+    c = 4
+    gen = G1.generator()
+    tX, tY, tZ = (np.asarray(x)
+                  for x in msm._fixed_base_table_device("g1", c, gen))
+    per = 1 << c
+    base = gen
+    idx = 0
+    for w in range(4):  # spot-check the first 4 windows
+        acc = type(gen).zero()
+        for d in range(per):
+            exp = acc
+            got = C.unpack_g1((jnp.asarray(tX[:, idx:idx + 1]),
+                               jnp.asarray(tY[:, idx:idx + 1]),
+                               jnp.asarray(tZ[:, idx:idx + 1])))[0]
+            assert got == exp, (w, d)
+            acc = acc + base
+            idx += 1
+        for _ in range(c):
+            base = base.double()

@@ -359,8 +359,7 @@ def _bucket_sums_fused(points, digits: jnp.ndarray, n_buckets: int,
         return _bucket_sums(C.affine_to_jac(points, ops), digits, n_buckets,
                             ops, infinity)
     from . import pallas_kernels as PK
-    order = jnp.argsort(digits)
-    d_sorted = digits[order]
+    d_sorted, order = PK.bitonic_argsort(digits)
     pts = tuple(x[..., order] for x in points)
     scanned, collided = PK.bucket_scan_pallas(pts, d_sorted, K, group)
 
@@ -582,6 +581,66 @@ def _jit_window(group: str, c: int, chunked: bool = True,
     return jax.jit(run)
 
 
+def _combine_windows(stacked: C.Point, c: int, n_windows: int,
+                     ops: C.FieldOps, group: str = None) -> C.Point:
+    """Per-window sums (batch axis = window, low first) -> final MSM point:
+    window w doubled c*w times (all windows in parallel under a masked
+    double), then summed."""
+    widx = jnp.arange(n_windows)
+
+    def body(d, p):
+        dX, dY, dZ = C.point_double(p, ops)
+        cond = d < (c * widx)
+        return (ops.select(cond, dX, p[0]),
+                ops.select(cond, dY, p[1]),
+                ops.select(cond, dZ, p[2]))
+
+    pts = jax.lax.fori_loop(0, c * (n_windows - 1), body, stacked)
+    return _total_auto(pts, ops, group)
+
+
+def _msm_fused_impl(points, scalars_std: jnp.ndarray, c: int,
+                    ops: C.FieldOps, infinity, group: str) -> C.Point:
+    """The whole Pippenger MSM as ONE traced program: signed digit
+    extraction, a lax.scan over windows (fused sort/scan/reduce kernels in
+    the body compile once), masked-double window combine.  A single device
+    dispatch — on a tunneled TPU, per-program dispatch latency (~25 ms)
+    otherwise dominates every window."""
+    digits = _scalars_to_signed_windows(scalars_std, c)   # (W, N)
+    n_windows = digits.shape[0]
+    affine = len(points) == 2
+    nb = (1 << (c - 1)) + 1
+    nb_pad = -(-nb // 64) * 64 if nb >= 128 else nb
+    fused = affine and F._use_pallas()
+
+    def window_body(carry, dig):
+        pts, absd = _apply_signs(points, dig, ops)
+        if fused:
+            buckets = _bucket_sums_fused(pts, absd, nb, ops, infinity, group)
+        elif affine:
+            buckets = _bucket_sums_chunked(pts, absd, nb, ops, infinity)
+        else:
+            buckets = _bucket_sums(pts, absd, nb, ops, infinity)
+        buckets = _pad_buckets(buckets, nb_pad, infinity)
+        ws = _weighted_bucket_reduce(buckets, ops, infinity,
+                                     group=group if fused else None)
+        return carry, ws
+
+    _, wsums = jax.lax.scan(window_body, 0, digits)
+    # wsums arrays are (W, ..., 1); move the window axis to the batch slot
+    stacked = tuple(jnp.moveaxis(v, 0, -1)[..., 0, :] for v in wsums)
+    return _combine_windows(stacked, c, n_windows, ops,
+                            group if fused else None)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_msm_fused(group: str, c: int, affine: bool):
+    ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
+    infinity = C.infinity_g1 if group == "g1" else C.infinity_g2
+    return jax.jit(functools.partial(
+        _msm_fused_impl, c=c, ops=ops, infinity=infinity, group=group))
+
+
 @functools.lru_cache(maxsize=8)
 def _jit_windows_extract(c: int):
     return jax.jit(functools.partial(_scalars_to_windows, c=c))
@@ -625,17 +684,15 @@ def msm_staged_device(points, scalars_std: jnp.ndarray,
 
     `points` may be Jacobian (X, Y, Z) or affine (X, Y) — affine bases
     run the dominant bucket phase on the 11-mul mixed add (see
-    curve_jax.to_affine for the once-per-CRS normalization)."""
+    curve_jax.to_affine for the once-per-CRS normalization).
+
+    Despite the name (kept for API stability), the MSM now runs as ONE
+    fused program (_msm_fused_impl) rather than host-staged windows:
+    through the axon tunnel each program dispatch costs ~25 ms, which at
+    ~20 windows dominated the whole MSM."""
     if c is None:
         c = auto_window(points[0].shape[-1])
-    digits = _jit_signed_windows_extract(c)(scalars_std)
-    n_windows = digits.shape[0]
-    wfn = _jit_window(group, c, affine=len(points) == 2)
-    dev_results = [wfn(points, digits[w]) for w in range(n_windows)]
-    stacked = tuple(
-        jnp.concatenate([r[i] for r in dev_results], axis=-1)
-        for i in range(3))
-    return _jit_window_combine(group, c, n_windows)(stacked)
+    return _jit_msm_fused(group, c, len(points) == 2)(points, scalars_std)
 
 
 def msm_staged(points: C.Point, scalars_std: jnp.ndarray, group: str = "g1",
@@ -680,25 +737,71 @@ def _fixed_base_table(group: str, c: int) -> Tuple[np.ndarray, ...]:
     from ..golden.curve import G1, G2
     gen = G1.generator() if group == "g1" else G2.generator()
     n_windows = (256 + c - 1) // c
-    pts = []
-    base = gen
-    for w in range(n_windows):
-        acc = type(gen).zero()
-        for d in range(1 << c):
-            pts.append(acc)
-            acc = acc + base
-        for _ in range(c):
-            base = base.double()
+    per = 1 << c
+
     # May be reached while tracing (first jitted fixed_base_mul call):
     # force eager evaluation so the table is a host constant.
     with jax.ensure_compile_time_eval():
-        packed = C.pack_g1(pts) if group == "g1" else C.pack_g2(pts)
-        out = tuple(np.asarray(x) for x in packed)
+        if F._use_pallas() and (n_windows * per) % 32 == 0:
+            out = tuple(np.asarray(x)
+                        for x in _fixed_base_table_device(group, c, gen))
+        else:
+            pts = []
+            base = gen
+            for w in range(n_windows):
+                acc = type(gen).zero()
+                for d in range(per):
+                    pts.append(acc)
+                    acc = acc + base
+                for _ in range(c):
+                    base = base.double()
+            packed = C.pack_g1(pts) if group == "g1" else C.pack_g2(pts)
+            out = tuple(np.asarray(x) for x in packed)
     try:
         np.savez_compressed(path, **{f"a{i}": a for i, a in enumerate(out)})
     except Exception:
         pass
     return out
+
+
+def _fixed_base_table_device(group: str, c: int, gen) -> C.Point:
+    """Build the window table on device: W window bases 2^(cw)*G come from
+    W*c host doublings (cheap); each block's multiples d*B_w are one
+    segmented prefix scan of the broadcast base, batch-normalized to
+    affine.  Replaces W * 2^c sequential golden adds (minutes for G2)."""
+    ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
+    n_windows = (256 + c - 1) // c
+    per = 1 << c
+    n = n_windows * per
+    bases = []
+    b = gen
+    for _ in range(n_windows):
+        bases.append(b)
+        for _ in range(c):
+            b = b.double()
+    Bp = C.pack_g1(bases) if group == "g1" else C.pack_g2(bases)
+
+    def build(Bp):
+        rep = tuple(jnp.repeat(x, per, axis=-1) for x in Bp)
+        seg = jnp.repeat(jnp.arange(n_windows, dtype=jnp.int32), per)
+        sc = _seg_scan_auto(rep, seg, ops, group)   # (d+1)*B_w at block pos d
+        # shift right one inside each block; block starts become infinity
+        t = tuple(_shift1(x) for x in sc)
+        starts = (jnp.arange(n) % per) == 0
+        tz = ops.select(starts, ops.zeros_like(t[2]), t[2])
+        xa, ya = C.to_affine((t[0], t[1], tz), ops)
+        one = jnp.broadcast_to(
+            jnp.asarray(np.array(F._int_to_limbs(F.FQ.r_mod_p, F.FQ.nl),
+                                 np.uint32))[:, None], (F.FQ.nl, n))
+        inf = ops.is_zero(xa) & ops.is_zero(ya)
+        if group == "g2":
+            zflag = jnp.stack([jnp.where(inf[None], 0, one),
+                               jnp.zeros((F.FQ.nl, n), jnp.uint32)])
+        else:
+            zflag = jnp.where(inf[None], 0, one)
+        return xa, ya, zflag
+
+    return jax.jit(build)(Bp)
 
 
 def fixed_base_mul(scalars_std: jnp.ndarray, group: str = "g1",

@@ -1022,3 +1022,150 @@ def jac_scan_pallas(points, K: int, group: str = "g1",
         return _unflat2(o) if group == "g2" else o
 
     return back(ox), back(oy), back(oz)
+
+
+# ---------------------------------------------------------------------------
+# Bitonic (key, value) sort — the Pippenger digit sort at VMEM speed
+# ---------------------------------------------------------------------------
+#
+# XLA's TPU sort runs ~10M elems/s; at 2^18+ terms it dominates every MSM
+# window.  This kernel keeps the whole (key, value) problem VMEM-resident
+# in an (N/128, 128) row-major layout where every bitonic exchange
+# distance d is a cheap roll: partners at d < 128 live in the same row
+# (blocks of 2d <= 128 never straddle rows, so an in-row circular roll is
+# exact), partners at d >= 128 are whole-row shifts.
+#
+# Chunks of up to 2^LOG_CHUNK elements sort in one grid step; larger
+# arrays sort chunk-locally, then the caller runs the O(log^2) cross-chunk
+# exchange passes in XLA and per-chunk merge kernels (see
+# bitonic_sort_pairs).
+
+_LOG_CHUNK = 16
+
+
+def _bitonic_pass(k, v, i_global, s, d):
+    """One compare-exchange pass at distance d inside stage s (block 2^(s+1)),
+    on (R, 128) row-major arrays."""
+    has = (i_global & d) != 0
+    up = ((i_global >> (s + 1)) & 1) == 0  # ascending block
+    if d < 128:
+        fwd = pltpu.roll(k, d, axis=1)            # [i] <- [i - d]
+        bwd = pltpu.roll(k, 128 - d, axis=1)      # [i] <- [i + d]
+        vfwd = pltpu.roll(v, d, axis=1)
+        vbwd = pltpu.roll(v, 128 - d, axis=1)
+    else:
+        r = d // 128
+        rows = k.shape[0]
+        fwd = pltpu.roll(k, r, axis=0)
+        bwd = pltpu.roll(k, rows - r, axis=0)
+        vfwd = pltpu.roll(v, r, axis=0)
+        vbwd = pltpu.roll(v, rows - r, axis=0)
+    other_k = jnp.where(has, fwd, bwd)
+    other_v = jnp.where(has, vfwd, vbwd)
+    take_min = up != has  # lower slot of an ascending block keeps the min
+    # signed compares only: Mosaic has no vector minui/maxui (keys < 2^31)
+    own_lt = k < other_k
+    take_own = take_min == own_lt  # ties: takes own (own_lt False, max slot)
+    take_own = take_own | (k == other_k)
+    new_k = jnp.where(take_own, k, other_k)
+    new_v = jnp.where(take_own, v, other_v)
+    return new_k, new_v
+
+
+def _bitonic_kernel(k_ref, v_ref, ok_ref, ov_ref, *, log_chunk, phase_s):
+    """phase_s is None: full bitonic sort of the chunk (stages 0..log_chunk-1).
+    phase_s = s: the within-chunk tail of global stage s (passes at
+    d = 2^(log_chunk-1) .. 1), after the caller ran the cross-chunk passes."""
+    rows = 1 << (log_chunk - 7)
+    chunk = pl.program_id(0)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    i_global = row_id * 128 + lane_id + chunk * (1 << log_chunk)
+    k = k_ref[...]
+    v = v_ref[...]
+    if phase_s is None:
+        for s in range(log_chunk):
+            for p in range(s, -1, -1):
+                k, v = _bitonic_pass(k, v, i_global, s, 1 << p)
+    else:
+        for p in range(log_chunk - 1, -1, -1):
+            k, v = _bitonic_pass(k, v, i_global, phase_s, 1 << p)
+    ok_ref[...] = k
+    ov_ref[...] = v
+
+
+@functools.lru_cache(maxsize=32)
+def _bitonic_call(logn: int, log_chunk: int, phase_s, interpret: bool):
+    rows_total = 1 << (logn - 7)
+    rows_chunk = 1 << (log_chunk - 7)
+    kernel = functools.partial(_bitonic_kernel, log_chunk=log_chunk,
+                               phase_s=phase_s)
+    bs = pl.BlockSpec((rows_chunk, 128), lambda i: (i, 0),
+                      memory_space=pl.ANY if interpret else pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((rows_total, 128), jnp.int32)
+                        for _ in range(2)),
+        grid=(rows_total // rows_chunk,),
+        in_specs=[bs, bs],
+        out_specs=(bs, bs),
+        input_output_aliases={0: 0, 1: 1},
+        interpret=interpret,
+    )
+
+
+def _bitonic_cross_pass(k, v, s, d, n):
+    """Cross-chunk compare-exchange in XLA on flat (n,) arrays."""
+    i = jnp.arange(n, dtype=jnp.int32)
+    has = (i & d) != 0
+    up = ((i >> (s + 1)) & 1) == 0
+    other_k = jnp.where(has, jnp.roll(k, d), jnp.roll(k, -d))
+    other_v = jnp.where(has, jnp.roll(v, d), jnp.roll(v, -d))
+    take_min = up != has
+    take_own = (take_min == (k < other_k)) | (k == other_k)
+    new_k = jnp.where(take_own, k, other_k)
+    new_v = jnp.where(take_own, v, other_v)
+    return new_k, new_v
+
+
+def bitonic_sort_pairs(keys: jnp.ndarray, values: jnp.ndarray,
+                       interpret: bool = None):
+    """Sort (keys, values) pairs by key ascending (unstable; ties keep
+    both values).  Keys must be < 2^31 (compares are signed: Mosaic has no
+    vector unsigned min); pads to a power of two with int32-max keys.
+    Returns (sorted_keys, permuted_values) of the original length."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n0 = keys.shape[0]
+    logn = max(8, (n0 - 1).bit_length())
+    n = 1 << logn
+    if n != n0:
+        keys = jnp.pad(keys, (0, n - n0), constant_values=0x7FFFFFFF)
+        values = jnp.pad(values, (0, n - n0))
+    keys = keys.astype(jnp.int32)
+    values = values.astype(jnp.int32)
+    log_chunk = min(logn, _LOG_CHUNK)
+    k2 = keys.reshape(-1, 128)
+    v2 = values.reshape(-1, 128)
+    k2, v2 = _bitonic_call(logn, log_chunk, None, interpret)(k2, v2)
+    if logn > log_chunk:
+        k = k2.reshape(n)
+        v = v2.reshape(n)
+        for s in range(log_chunk, logn):
+            for p in range(s, log_chunk - 1, -1):
+                k, v = _bitonic_cross_pass(k, v, s, 1 << p, n)
+            k2, v2 = _bitonic_call(logn, log_chunk, s, interpret)(
+                k.reshape(-1, 128), v.reshape(-1, 128))
+            k = k2.reshape(n)
+            v = v2.reshape(n)
+        k2, v2 = k.reshape(-1, 128), v.reshape(-1, 128)
+    return k2.reshape(n)[:n0], v2.reshape(n)[:n0]
+
+
+def bitonic_argsort(keys: jnp.ndarray, interpret: bool = None):
+    """argsort by u32 key: returns (sorted_keys, order) — a drop-in for
+    (d[argsort(d)], argsort(d)) at VMEM speed."""
+    n = keys.shape[0]
+    sk, order = bitonic_sort_pairs(
+        keys, jnp.arange(n, dtype=jnp.int32), interpret=interpret)
+    return sk, order
