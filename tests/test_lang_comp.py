@@ -117,3 +117,51 @@ def test_no_one_circuit_has_no_public_inputs():
                                  lambda x: L.mul(x, x)))
     assert ONE not in c.circuit.vars()
     assert not c.circuit.inputs_public
+
+
+def test_check_u32_valid_witness():
+    """check_u32 gadget: valid uint32 inputs compile, witness, and satisfy
+    every gate; the checked wire equals the product-chain reconstruction."""
+    from zukelang_tpu.core import comp as comp_mod
+    from zukelang_tpu.core import lang as L
+    from zukelang_tpu.golden.field import Fr
+
+    e = L.let_(L.check_u32(L.input("x", L.SECRET, L.ty_uint32)),
+               lambda x: L.add_u32(x, L.uint32(41)))
+    res = comp_mod.compile_expr(e)
+    for xval in (0, 1, 5, (1 << 32) - 1, 123456789):
+        _, env = comp_mod.convert_inputs(res.inputs, {"x": L.v_uint32(xval)})
+        w = comp_mod.code_eval_list(env, res.codes)
+        for g in res.circuit.gates:
+            assert g.lhs.eval(w, Fr) == g.l.eval(w, Fr) * g.r.eval(w, Fr), \
+                (xval, g)
+
+
+def test_check_u32_rejects_non_torsion_value():
+    """No satisfying assignment exists when the checked wire is not a
+    uint32 embedding: witness generation fails, and any boolean bit
+    assignment violates the reconstruction gate."""
+    import pytest as _pytest
+
+    from zukelang_tpu.core import comp as comp_mod
+    from zukelang_tpu.core import lang as L
+    from zukelang_tpu.core.circuit import ONE
+    from zukelang_tpu.golden.field import Fr
+
+    e = L.check_u32(L.input("x", L.SECRET, L.ty_uint32))
+    res = comp_mod.compile_expr(e)
+    xvar = res.inputs["x"][2][0]
+    # witness generation refuses: Fr(5) is (whp) not in the 2^32 torsion
+    env = {ONE: Fr(1), xvar: Fr(5)}
+    with _pytest.raises(AssertionError):
+        comp_mod.code_eval_list(env, res.codes)
+    # manual all-zero-bits assignment violates the final gate
+    w = dict(env)
+    for v, c in res.codes:
+        try:
+            w[v] = comp_mod.code_eval(w, c)
+        except AssertionError:
+            w[v] = Fr(0)
+    bad = [g for g in res.circuit.gates
+           if g.lhs.eval(w, Fr) != g.l.eval(w, Fr) * g.r.eval(w, Fr)]
+    assert bad, "tampered witness must violate at least one gate"

@@ -99,3 +99,14 @@ def test_full_suite_groth16(name, mk):
 @pytest.mark.parametrize("name,mk", SUITE, ids=[n for n, _ in SUITE])
 def test_full_suite_pinocchio_zk(name, mk):
     assert random_test(mk(), Pinocchio(zk=True), seed=6).verified
+
+
+def test_check_u32_end_to_end_groth16():
+    from zukelang_tpu.core import lang as L
+    from zukelang_tpu.protocols.groth16 import Groth16
+    from zukelang_tpu.testing.harness import random_test
+
+    e = L.let_(L.check_u32(L.input("x", L.SECRET, L.ty_uint32)),
+               lambda x: L.add_u32(x, L.uint32(7)))
+    res = random_test(e, Groth16())
+    assert res.verified

@@ -84,6 +84,13 @@ def c_if(a, b, c):
     return Code("if", (a, b, c))
 
 
+def c_u32_bit(a, i: int):
+    """Bit i of the discrete log of a 2^32-torsion value (the uint32
+    embedding's exponent) — host-side Pohlig-Hellman during witness gen;
+    raises on values outside the torsion (no valid witness exists)."""
+    return Code("u32bit", (a, i))
+
+
 def code_eval(env: Dict[Var, Fr], c: Code) -> Fr:
     """comp.ml:71-112; booleans are 0/1 field values, Div raises on zero."""
     t, a = c.tag, c.args
@@ -114,6 +121,15 @@ def code_eval(env: Dict[Var, Fr], c: Code) -> Fr:
         return code_eval(env, a[1]) if to_bool(code_eval(env, a[0])) else code_eval(env, a[2])
     if t == "affine":
         return a[0].eval(env, Fr)
+    if t == "u32bit":
+        from .. import params
+        from . import roots
+        y = code_eval(env, a[0])
+        x = roots.uint_of_f(params.R, 32, y.n)
+        if x is None:
+            raise AssertionError(
+                "check_u32: value is not a uint32 embedding")
+        return Fr((x >> a[1]) & 1)
     raise ValueError(t)
 
 
@@ -337,6 +353,38 @@ def _compile(st: _State, env, e: L.Expr) -> List[Affine]:
             st.add_gate(yv, tag, dv)
             out.append(xv.add(yv))
         return out
+    if t == "check_u32":
+        av = one(a[0])
+        cst = av.is_const(Fr)
+        if cst is not None:
+            from .. import params
+            from . import roots
+            if roots.uint_of_f(params.R, 32, cst.n) is None:
+                raise ValueError("check_u32 on an invalid uint32 constant")
+            return [av]
+        st.add_one()
+        # 32 witness bits b_i with booleanity gates 0 = b_i * (b_i - 1),
+        # then a product chain  omega^x = prod_i (1 + b_i (omega^(2^i)-1))
+        # pinned to the checked wire by the last gate's lhs.
+        bits = []
+        for i in range(32):
+            vb, bv = _fresh()
+            st.add_code(vb, c_u32_bit(c_aff(av), i))
+            st.add_gate(_aff_int(0), bv, bv.add(_aff_int(-1)))
+            bits.append(bv)
+
+        def factor(i: int) -> Affine:
+            w = L.f_of_uint32(1 << i)  # omega^(2^i)
+            return _aff_int(1).add(bits[i].mul_scalar(w - Fr(1)))
+
+        acc = factor(0)
+        for i in range(1, 31):
+            vt, tv = _fresh()
+            st.add_code(vt, c_mul(c_aff(acc), c_aff(factor(i))))
+            st.add_gate(tv, acc, factor(i))
+            acc = tv
+        st.add_gate(av, acc, factor(31))
+        return [av]
     if t == "add_u32":
         # omega^a * omega^b = omega^(a+b mod 2^32)  (comp.ml:441-442)
         return _compile(st, env, L.mul(L.to_field(a[0]), L.to_field(a[1])))

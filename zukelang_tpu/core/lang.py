@@ -144,6 +144,8 @@ def _pp(e: Expr) -> str:
         return f"(if {_pp(a[0])} then {_pp(a[1])} else {_pp(a[2])})"
     if t == "to_field":
         return f"(to_field {_pp(a[0])})"
+    if t == "check_u32":
+        return f"(check_u32 {_pp(a[0])})"
     if t == "let":
         return f"(let {a[0]!r} = {_pp(a[1])} in {_pp(a[2])})"
     if t == "var":
@@ -276,6 +278,19 @@ def case(ab: Expr, fa, fb) -> Expr:
 
 def add_u32(a, b) -> Expr:
     return Expr("add_u32", (a, b), ty_uint32)
+
+
+def check_u32(a: Expr) -> Expr:
+    """Range-check gadget: constrains a uint32-typed wire to actually be a
+    valid omega^x embedding with x < 2^32 (the reference leaves uint32
+    inputs unchecked — the "range check?" comment at lang.ml:179).
+
+    In the interpreter this is the identity; the compiler emits 32 witness
+    bits with booleanity gates plus a 31-gate product chain reconstructing
+    omega^x (see comp._compile), so no out-of-range or non-torsion value
+    can satisfy the circuit."""
+    assert isinstance(a.ty, TUint32)
+    return Expr("check_u32", (a,), ty_uint32)
 
 
 def sub_u32(a, b) -> Expr:
@@ -419,6 +434,10 @@ def eval_expr(inputs: dict, e: Expr) -> Value:
                 return go({**env, va: v.args[0]}, ea)
             assert v.tag == "right"
             return go({**env, vb: v.args[0]}, eb)
+        if t == "check_u32":
+            v = go(env, a[0])
+            assert v.tag == "uint32" and 0 <= v.args[0] < (1 << 32)
+            return v
         if t == "add_u32":
             x = go(env, a[0]).args[0]
             y = go(env, a[1]).args[0]

@@ -44,3 +44,25 @@ def f_of_uint(order: int, bits: int, x: int) -> Optional[int]:
     if bits > n:
         return None
     return pow(ga, x << (n - bits), order)
+
+
+def uint_of_f(order: int, bits: int, y: int) -> Optional[int]:
+    """Inverse of f_of_uint: recover x < 2^bits from y = omega^(x<<(n-bits))
+    by Pohlig-Hellman on the 2^n torsion (bit-by-bit: (y*omega^-x)^(2^(n-1-i))
+    is 1 or -1).  Returns None when y is not a valid uint embedding —
+    witness generation for a range-checked uint32 then fails."""
+    n, ga = two_adic_root(order)
+    if bits > n:
+        return None
+    omega = pow(ga, 1 << (n - bits), order)  # primitive 2^bits-th root
+    omega_inv = pow(omega, -1, order)
+    x = 0
+    for i in range(bits):
+        t = (y * pow(omega_inv, x, order)) % order
+        e = pow(t, 1 << (bits - 1 - i), order)
+        if e != 1:
+            x |= 1 << i
+    # verify (y may not lie in the 2^bits torsion at all)
+    if pow(omega, x, order) != y % order:
+        return None
+    return x

@@ -255,6 +255,11 @@ class _Translator:
             return L.snd(self.expr(node.args[0]))
         if name == "to_field":
             return L.to_field(self.expr(node.args[0]))
+        if name == "check_u32":
+            a = self.expr(node.args[0], L.ty_uint32)
+            if not isinstance(a.ty, L.TUint32):
+                raise FrontendError("check_u32 needs a uint32 argument")
+            return L.check_u32(a)
         raise FrontendError(f"unsupported call {name}")
 
     # statements -----------------------------------------------------------

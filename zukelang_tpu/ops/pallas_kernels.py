@@ -811,7 +811,7 @@ def bucket_scan_pallas(pts_sorted, seg_sorted, K: int, group: str = "g1",
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     if block is None:
-        block = 512 if group == "g1" else 256
+        block = 2048 if group == "g1" else 1024
     n = seg_sorted.shape[0]
     assert n % K == 0
     m = n // K
@@ -988,7 +988,7 @@ def jac_scan_pallas(points, K: int, group: str = "g1",
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     if block is None:
-        block = 512 if group == "g1" else 256
+        block = 2048 if group == "g1" else 1024
     n = points[0].shape[-1]
     assert n % K == 0
     m = n // K
