@@ -548,4 +548,431 @@ void g1_msm(const uint8_t *points, const uint8_t *scalars, int64_t n,
 
 int native_abi_version() { return 1; }
 
+
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fq2 / Fq6 / Fq12 tower and the optimal ate pairing.
+//
+// Tower matches zukelang_tpu.golden.field (the framework oracle):
+//   Fq2 = Fq[u]/(u^2+1); Fq6 = Fq2[v]/(v^3 - xi), xi = u+1; Fq12 = Fq6[w]/(w^2 - v).
+// The reference reaches pairing through blst (curve.ml:64-72 Pairing); this
+// is the native verify-side equivalent (golden/pairing.py semantics).
+// ---------------------------------------------------------------------------
+
+struct Fq2v { Fq c0, c1; };
+struct Fq6v { Fq2v c0, c1, c2; };
+struct Fq12v { Fq6v c0, c1; };
+
+static inline Fq2v fq2_zero() { return {Fq::zero(), Fq::zero()}; }
+static inline Fq2v fq2_one() {
+  Fq2v r = fq2_zero();
+  memcpy(r.c0.v, FQ.one, sizeof(r.c0.v));
+  return r;
+}
+static inline bool fq2_is_zero(const Fq2v &a) {
+  return fp_is_zero<6>(a.c0) && fp_is_zero<6>(a.c1);
+}
+static inline bool fq2_eq(const Fq2v &a, const Fq2v &b) {
+  return fp_eq<6>(a.c0, b.c0) && fp_eq<6>(a.c1, b.c1);
+}
+static inline Fq2v fq2_add(const Fq2v &a, const Fq2v &b) {
+  return {fp_add<6>(a.c0, b.c0, FQ), fp_add<6>(a.c1, b.c1, FQ)};
+}
+static inline Fq2v fq2_sub(const Fq2v &a, const Fq2v &b) {
+  return {fp_sub<6>(a.c0, b.c0, FQ), fp_sub<6>(a.c1, b.c1, FQ)};
+}
+static inline Fq2v fq2_neg(const Fq2v &a) {
+  return {fp_sub<6>(Fq::zero(), a.c0, FQ), fp_sub<6>(Fq::zero(), a.c1, FQ)};
+}
+static inline Fq2v fq2_mul(const Fq2v &a, const Fq2v &b) {
+  // Karatsuba over u^2 = -1
+  Fq v0 = fp_mul<6>(a.c0, b.c0, FQ);
+  Fq v1 = fp_mul<6>(a.c1, b.c1, FQ);
+  Fq t = fp_mul<6>(fp_add<6>(a.c0, a.c1, FQ), fp_add<6>(b.c0, b.c1, FQ), FQ);
+  return {fp_sub<6>(v0, v1, FQ), fp_sub<6>(fp_sub<6>(t, v0, FQ), v1, FQ)};
+}
+static inline Fq2v fq2_sqr(const Fq2v &a) {
+  Fq t0 = fp_mul<6>(fp_add<6>(a.c0, a.c1, FQ), fp_sub<6>(a.c0, a.c1, FQ), FQ);
+  Fq m = fp_mul<6>(a.c0, a.c1, FQ);
+  return {t0, fp_add<6>(m, m, FQ)};
+}
+static inline Fq2v fq2_conj(const Fq2v &a) {
+  return {a.c0, fp_sub<6>(Fq::zero(), a.c1, FQ)};
+}
+static inline Fq2v fq2_inv(const Fq2v &a) {
+  Fq norm = fp_add<6>(fp_mul<6>(a.c0, a.c0, FQ), fp_mul<6>(a.c1, a.c1, FQ), FQ);
+  Fq ninv = fp_inv<6>(norm, FQ);
+  return {fp_mul<6>(a.c0, ninv, FQ),
+          fp_sub<6>(Fq::zero(), fp_mul<6>(a.c1, ninv, FQ), FQ)};
+}
+static Fq2v fq2_pow(const Fq2v &a, const u64 *e, int elimbs) {
+  Fq2v result = fq2_one();
+  bool started = false;
+  for (int i = elimbs - 1; i >= 0; i--) {
+    for (int b = 63; b >= 0; b--) {
+      if (started) result = fq2_sqr(result);
+      if ((e[i] >> b) & 1) {
+        if (!started) { result = a; started = true; }
+        else result = fq2_mul(result, a);
+      }
+    }
+  }
+  return result;
+}
+
+static Fq2v XI_V;  // u + 1 (Montgomery), initialized lazily
+
+static inline Fq6v fq6_zero() { return {fq2_zero(), fq2_zero(), fq2_zero()}; }
+static inline Fq6v fq6_one() { return {fq2_one(), fq2_zero(), fq2_zero()}; }
+static inline Fq6v fq6_add(const Fq6v &a, const Fq6v &b) {
+  return {fq2_add(a.c0, b.c0), fq2_add(a.c1, b.c1), fq2_add(a.c2, b.c2)};
+}
+static inline Fq6v fq6_sub(const Fq6v &a, const Fq6v &b) {
+  return {fq2_sub(a.c0, b.c0), fq2_sub(a.c1, b.c1), fq2_sub(a.c2, b.c2)};
+}
+static inline Fq6v fq6_neg(const Fq6v &a) {
+  return {fq2_neg(a.c0), fq2_neg(a.c1), fq2_neg(a.c2)};
+}
+static inline Fq6v fq6_mul(const Fq6v &a, const Fq6v &b) {
+  Fq2v v0 = fq2_mul(a.c0, b.c0);
+  Fq2v v1 = fq2_mul(a.c1, b.c1);
+  Fq2v v2 = fq2_mul(a.c2, b.c2);
+  Fq2v t12 = fq2_mul(fq2_add(a.c1, a.c2), fq2_add(b.c1, b.c2));
+  Fq2v c0 = fq2_add(v0, fq2_mul(fq2_sub(fq2_sub(t12, v1), v2), XI_V));
+  Fq2v t01 = fq2_mul(fq2_add(a.c0, a.c1), fq2_add(b.c0, b.c1));
+  Fq2v c1 = fq2_add(fq2_sub(fq2_sub(t01, v0), v1), fq2_mul(v2, XI_V));
+  Fq2v t02 = fq2_mul(fq2_add(a.c0, a.c2), fq2_add(b.c0, b.c2));
+  Fq2v c2 = fq2_sub(fq2_add(fq2_sub(t02, v0), v1), v2);
+  return {c0, c1, c2};
+}
+static inline Fq6v fq6_mul_by_v(const Fq6v &a) {
+  return {fq2_mul(a.c2, XI_V), a.c0, a.c1};
+}
+static inline Fq6v fq6_inv(const Fq6v &a) {
+  Fq2v t0 = fq2_sub(fq2_sqr(a.c0), fq2_mul(fq2_mul(a.c1, a.c2), XI_V));
+  Fq2v t1 = fq2_sub(fq2_mul(fq2_sqr(a.c2), XI_V), fq2_mul(a.c0, a.c1));
+  Fq2v t2 = fq2_sub(fq2_sqr(a.c1), fq2_mul(a.c0, a.c2));
+  Fq2v d = fq2_add(fq2_mul(a.c0, t0),
+                   fq2_mul(fq2_add(fq2_mul(a.c2, t1), fq2_mul(a.c1, t2)),
+                           XI_V));
+  Fq2v dinv = fq2_inv(d);
+  return {fq2_mul(t0, dinv), fq2_mul(t1, dinv), fq2_mul(t2, dinv)};
+}
+
+static inline Fq12v fq12_zero() { return {fq6_zero(), fq6_zero()}; }
+static inline Fq12v fq12_one() { return {fq6_one(), fq6_zero()}; }
+static inline bool fq12_eq(const Fq12v &a, const Fq12v &b) {
+  return fq2_eq(a.c0.c0, b.c0.c0) && fq2_eq(a.c0.c1, b.c0.c1) &&
+         fq2_eq(a.c0.c2, b.c0.c2) && fq2_eq(a.c1.c0, b.c1.c0) &&
+         fq2_eq(a.c1.c1, b.c1.c1) && fq2_eq(a.c1.c2, b.c1.c2);
+}
+static inline Fq12v fq12_add(const Fq12v &a, const Fq12v &b) {
+  return {fq6_add(a.c0, b.c0), fq6_add(a.c1, b.c1)};
+}
+static inline Fq12v fq12_sub(const Fq12v &a, const Fq12v &b) {
+  return {fq6_sub(a.c0, b.c0), fq6_sub(a.c1, b.c1)};
+}
+static inline Fq12v fq12_mul(const Fq12v &a, const Fq12v &b) {
+  Fq6v v0 = fq6_mul(a.c0, b.c0);
+  Fq6v v1 = fq6_mul(a.c1, b.c1);
+  Fq6v t = fq6_mul(fq6_add(a.c0, a.c1), fq6_add(b.c0, b.c1));
+  return {fq6_add(v0, fq6_mul_by_v(v1)), fq6_sub(fq6_sub(t, v0), v1)};
+}
+static inline Fq12v fq12_sqr(const Fq12v &a) {
+  Fq6v m = fq6_mul(a.c0, a.c1);
+  Fq6v t = fq6_mul(fq6_add(a.c0, a.c1), fq6_add(a.c0, fq6_mul_by_v(a.c1)));
+  return {fq6_sub(fq6_sub(t, m), fq6_mul_by_v(m)), fq6_add(m, m)};
+}
+static inline Fq12v fq12_conj(const Fq12v &a) { return {a.c0, fq6_neg(a.c1)}; }
+static inline Fq12v fq12_inv(const Fq12v &a) {
+  Fq6v d = fq6_sub(fq6_mul(a.c0, a.c0), fq6_mul_by_v(fq6_mul(a.c1, a.c1)));
+  Fq6v dinv = fq6_inv(d);
+  return {fq6_mul(a.c0, dinv), fq6_neg(fq6_mul(a.c1, dinv))};
+}
+
+// Frobenius: conjugate each Fq2 coefficient, scale basis monomial w^k by
+// gamma_k = xi^(k(p-1)/6) (golden/field.py:379-389).
+static Fq2v GAMMA[6];
+static bool TOWER_READY = false;
+
+static void tower_init() {
+  if (TOWER_READY) return;
+  XI_V = fq2_one();
+  memcpy(XI_V.c1.v, FQ.one, sizeof(XI_V.c1.v));  // xi = 1 + u
+  // e = (p - 1) / 6
+  u64 e[6];
+  memcpy(e, FQ.mod, sizeof(e));
+  e[0] -= 1;  // p is odd, no borrow
+  u64 rem = 0;
+  for (int i = 5; i >= 0; i--) {
+    u128 cur = ((u128)rem << 64) | e[i];
+    e[i] = (u64)(cur / 6);
+    rem = (u64)(cur % 6);
+  }
+  GAMMA[0] = fq2_one();
+  GAMMA[1] = fq2_pow(XI_V, e, 6);
+  for (int i = 2; i < 6; i++) GAMMA[i] = fq2_mul(GAMMA[i - 1], GAMMA[1]);
+  TOWER_READY = true;
+}
+
+static Fq12v fq12_frobenius(const Fq12v &a) {
+  // coefficients in basis {1, v, v^2, w, vw, v^2w} = w^{0,2,4,1,3,5}
+  const Fq2v *cs[6] = {&a.c0.c0, &a.c0.c1, &a.c0.c2,
+                       &a.c1.c0, &a.c1.c1, &a.c1.c2};
+  static const int wexp[6] = {0, 2, 4, 1, 3, 5};
+  Fq2v out[6];
+  for (int i = 0; i < 6; i++) out[i] = fq2_mul(fq2_conj(*cs[i]), GAMMA[wexp[i]]);
+  return {{out[0], out[1], out[2]}, {out[3], out[4], out[5]}};
+}
+static Fq12v fq12_frobenius_n(const Fq12v &a, int n) {
+  Fq12v f = a;
+  for (int i = 0; i < n; i++) f = fq12_frobenius(f);
+  return f;
+}
+static Fq12v fq12_pow_u64(const Fq12v &a, u64 e) {
+  Fq12v result = fq12_one();
+  Fq12v base = a;
+  while (e) {
+    if (e & 1) result = fq12_mul(result, base);
+    base = fq12_sqr(base);
+    e >>= 1;
+  }
+  return result;
+}
+
+// ---------------------------------------------------------------------------
+// Miller loop in untwisted E(Fq12) coordinates (golden/pairing.py layout):
+// psi(x, y) = (x / w^2, y / w^3) for the M-type twist.
+// ---------------------------------------------------------------------------
+
+static const u64 BLS_X_ABS = 0xd201000000010000ULL;  // |x|; x is negative
+
+struct PtFq12 { Fq12v x, y; };
+
+static Fq12v fq12_of_fq2(const Fq2v &a) {
+  Fq12v r = fq12_zero();
+  r.c0.c0 = a;
+  return r;
+}
+
+static void untwist_consts(Fq12v *w2inv, Fq12v *w3inv) {
+  Fq12v w2 = fq12_zero();          // w^2 = v
+  w2.c0.c1 = fq2_one();
+  Fq12v w3 = fq12_zero();          // w^3 = v*w
+  w3.c1.c1 = fq2_one();
+  *w2inv = fq12_inv(w2);
+  *w3inv = fq12_inv(w3);
+}
+
+// line through A, B evaluated at P (all in E(Fq12)); subfield scale factors
+// vanish under the final exponentiation.
+static Fq12v line_eval(const Fq12v &ax, const Fq12v &ay, const Fq12v &bx,
+                       const Fq12v &by, const Fq12v &px, const Fq12v &py) {
+  if (fq12_eq(ax, bx) && fq12_eq(ay, by)) {
+    Fq12v ax2 = fq12_sqr(ax);
+    Fq12v three = fq12_add(fq12_add(ax2, ax2), ax2);
+    Fq12v twoy = fq12_add(ay, ay);
+    Fq12v m = fq12_mul(three, fq12_inv(twoy));
+    return fq12_sub(fq12_mul(m, fq12_sub(px, ax)), fq12_sub(py, ay));
+  }
+  if (fq12_eq(ax, bx)) return fq12_sub(px, ax);
+  Fq12v m = fq12_mul(fq12_sub(by, ay), fq12_inv(fq12_sub(bx, ax)));
+  return fq12_sub(fq12_mul(m, fq12_sub(px, ax)), fq12_sub(py, ay));
+}
+
+static void pt_double(Fq12v *tx, Fq12v *ty) {
+  Fq12v x2 = fq12_sqr(*tx);
+  Fq12v three = fq12_add(fq12_add(x2, x2), x2);
+  Fq12v m = fq12_mul(three, fq12_inv(fq12_add(*ty, *ty)));
+  Fq12v nx = fq12_sub(fq12_sub(fq12_sqr(m), *tx), *tx);
+  Fq12v ny = fq12_sub(fq12_mul(m, fq12_sub(*tx, nx)), *ty);
+  *tx = nx;
+  *ty = ny;
+}
+
+static void pt_add(Fq12v *tx, Fq12v *ty, const Fq12v &qx, const Fq12v &qy) {
+  Fq12v m = fq12_mul(fq12_sub(qy, *ty), fq12_inv(fq12_sub(qx, *tx)));
+  Fq12v nx = fq12_sub(fq12_sub(fq12_sqr(m), *tx), qx);
+  Fq12v ny = fq12_sub(fq12_mul(m, fq12_sub(*tx, nx)), *ty);
+  *tx = nx;
+  *ty = ny;
+}
+
+// g1 affine (Fq x, y Montgomery), g2 affine (Fq2 x, y Montgomery)
+static Fq12v miller_loop_native(const Fq &px_, const Fq &py_, const Fq2v &qx2,
+                                const Fq2v &qy2) {
+  Fq12v w2inv, w3inv;
+  untwist_consts(&w2inv, &w3inv);
+  Fq12v qx = fq12_mul(fq12_of_fq2(qx2), w2inv);
+  Fq12v qy = fq12_mul(fq12_of_fq2(qy2), w3inv);
+  Fq2v px2 = {px_, Fq::zero()};
+  Fq2v py2 = {py_, Fq::zero()};
+  Fq12v px = fq12_of_fq2(px2);
+  Fq12v py = fq12_of_fq2(py2);
+
+  Fq12v f = fq12_one();
+  Fq12v tx = qx, ty = qy;
+  int msb = 63;
+  while (!((BLS_X_ABS >> msb) & 1)) msb--;
+  for (int b = msb - 1; b >= 0; b--) {
+    f = fq12_mul(fq12_sqr(f), line_eval(tx, ty, tx, ty, px, py));
+    pt_double(&tx, &ty);
+    if ((BLS_X_ABS >> b) & 1) {
+      f = fq12_mul(f, line_eval(tx, ty, qx, qy, px, py));
+      pt_add(&tx, &ty, qx, qy);
+    }
+  }
+  return fq12_conj(f);  // x < 0: f_{-x} ~ conj(f_x) up to final exp
+}
+
+static Fq12v cyc_pow(const Fq12v &f, u64 e) { return fq12_pow_u64(f, e); }
+
+static Fq12v final_exp_native(const Fq12v &fin) {
+  // easy part
+  Fq12v f1 = fq12_mul(fq12_conj(fin), fq12_inv(fin));
+  Fq12v f = fq12_mul(fq12_frobenius_n(f1, 2), f1);
+  // hard part: f^((z-1)^2 (z+p) (z^2+p^2-1) + 3) with z = -|BLS_X|
+  // (the BLS12-381 seed is negative): f^z = conj(f^|z|) in the cyclotomic
+  // subgroup, so z-1 = -(|z|+1) and each z-power conjugates.
+  u64 az = BLS_X_ABS;
+  Fq12v t0 = fq12_conj(cyc_pow(f, az + 1));       // f^(z-1)
+  t0 = fq12_conj(cyc_pow(t0, az + 1));            // f^((z-1)^2)
+  Fq12v t1 = fq12_mul(fq12_conj(cyc_pow(t0, az)), // ^(z+p)
+                      fq12_frobenius_n(t0, 1));
+  Fq12v t1z = fq12_conj(cyc_pow(t1, az));
+  Fq12v t1zz = fq12_conj(cyc_pow(t1z, az));       // t1^(z^2)
+  Fq12v t2 = fq12_mul(fq12_mul(t1zz, fq12_frobenius_n(t1, 2)),
+                      fq12_conj(t1));             // ^(z^2+p^2-1)
+  return fq12_mul(fq12_mul(t2, fq12_sqr(f)), f);
+}
+
+static void read_fq2(const uint8_t *in, Fq2v *out) {
+  Fq a, b;
+  read_fq(in, &a);
+  read_fq(in + 48, &b);
+  out->c0 = fp_to_mont<6>(a, FQ);
+  out->c1 = fp_to_mont<6>(b, FQ);
+}
+
+extern "C" {
+
+// Multi-pairing: prod_i e(P_i, Q_i) with one shared final exponentiation.
+// g1: n * 96 bytes (affine x, y standard LE); g1_inf: n bytes (1 = infinity);
+// g2: n * 192 bytes (x.c0, x.c1, y.c0, y.c1); g2_inf: n bytes.
+// out: 576 bytes = 12 Fq standard LE in coefficient order
+// [c0.c0.c0, c0.c0.c1, c0.c1.c0, c0.c1.c1, c0.c2.c0, c0.c2.c1,
+//  c1.c0.c0, c1.c0.c1, c1.c1.c0, c1.c1.c1, c1.c2.c0, c1.c2.c1].
+void gt_multi_pairing(const uint8_t *g1, const uint8_t *g1_inf,
+                      const uint8_t *g2, const uint8_t *g2_inf, int64_t n,
+                      uint8_t *out) {
+  tower_init();
+  Fq12v f = fq12_one();
+  for (int64_t i = 0; i < n; i++) {
+    if (g1_inf[i] || g2_inf[i]) continue;
+    Fq px, py;
+    read_fq(g1 + i * 96, &px);
+    read_fq(g1 + i * 96 + 48, &py);
+    px = fp_to_mont<6>(px, FQ);
+    py = fp_to_mont<6>(py, FQ);
+    Fq2v qx, qy;
+    read_fq2(g2 + i * 192, &qx);
+    read_fq2(g2 + i * 192 + 96, &qy);
+    f = fq12_mul(f, miller_loop_native(px, py, qx, qy));
+  }
+  f = final_exp_native(f);
+  const Fq2v *cs[6] = {&f.c0.c0, &f.c0.c1, &f.c0.c2,
+                       &f.c1.c0, &f.c1.c1, &f.c1.c2};
+  for (int i = 0; i < 6; i++) {
+    Fq a = fp_from_mont<6>(cs[i]->c0, FQ);
+    Fq b = fp_from_mont<6>(cs[i]->c1, FQ);
+    write_fq(a, out + i * 96);
+    write_fq(b, out + i * 96 + 48);
+  }
+}
+
+// debug/bisect: miller loop only (no final exponentiation)
+void gt_miller_loop(const uint8_t *g1, const uint8_t *g2, uint8_t *out) {
+  tower_init();
+  Fq px, py;
+  read_fq(g1, &px);
+  read_fq(g1 + 48, &py);
+  px = fp_to_mont<6>(px, FQ);
+  py = fp_to_mont<6>(py, FQ);
+  Fq2v qx, qy;
+  read_fq2(g2, &qx);
+  read_fq2(g2 + 96, &qy);
+  Fq12v f = miller_loop_native(px, py, qx, qy);
+  const Fq2v *cs[6] = {&f.c0.c0, &f.c0.c1, &f.c0.c2,
+                       &f.c1.c0, &f.c1.c1, &f.c1.c2};
+  for (int i = 0; i < 6; i++) {
+    Fq a = fp_from_mont<6>(cs[i]->c0, FQ);
+    Fq b = fp_from_mont<6>(cs[i]->c1, FQ);
+    write_fq(a, out + i * 96);
+    write_fq(b, out + i * 96 + 48);
+  }
+}
+
+// debug: dump frobenius gamma constants (12 x 48B standard LE)
+void gt_dump_gamma(uint8_t *out) {
+  tower_init();
+  for (int i = 0; i < 6; i++) {
+    Fq a = fp_from_mont<6>(GAMMA[i].c0, FQ);
+    Fq b = fp_from_mont<6>(GAMMA[i].c1, FQ);
+    write_fq(a, out + i * 96);
+    write_fq(b, out + i * 96 + 48);
+  }
+}
+
+static Fq12v read_fq12_std(const uint8_t *in) {
+  Fq12v f;
+  Fq2v *cs[6] = {&f.c0.c0, &f.c0.c1, &f.c0.c2, &f.c1.c0, &f.c1.c1, &f.c1.c2};
+  for (int i = 0; i < 6; i++) {
+    Fq a, b;
+    read_fq(in + i * 96, &a);
+    read_fq(in + i * 96 + 48, &b);
+    cs[i]->c0 = fp_to_mont<6>(a, FQ);
+    cs[i]->c1 = fp_to_mont<6>(b, FQ);
+  }
+  return f;
+}
+static void write_fq12_std(const Fq12v &f, uint8_t *out) {
+  const Fq2v *cs[6] = {&f.c0.c0, &f.c0.c1, &f.c0.c2,
+                       &f.c1.c0, &f.c1.c1, &f.c1.c2};
+  for (int i = 0; i < 6; i++) {
+    write_fq(fp_from_mont<6>(cs[i]->c0, FQ), out + i * 96);
+    write_fq(fp_from_mont<6>(cs[i]->c1, FQ), out + i * 96 + 48);
+  }
+}
+
+// debug: pieces of the final exponentiation
+void gt_debug_op(const uint8_t *in, int32_t op, uint8_t *out) {
+  tower_init();
+  Fq12v f = read_fq12_std(in);
+  Fq12v r;
+  switch (op) {
+    case 0: r = fq12_inv(f); break;
+    case 1: r = fq12_conj(f); break;
+    case 2: r = fq12_frobenius_n(f, 1); break;
+    case 3: r = fq12_frobenius_n(f, 2); break;
+    case 4: r = fq12_mul(f, f); break;
+    case 5: r = fq12_sqr(f); break;
+    case 6: r = final_exp_native(f); break;
+    case 7: r = fq12_pow_u64(f, BLS_X_ABS - 1); break;
+    case 8: r = fq12_mul(f, fq12_frobenius_n(f, 1)); break;
+    case 9: r = fq12_pow_u64(f, 3); break;
+    case 10: r = fq12_pow_u64(f, 65537); break;
+    case 11: r = fq12_pow_u64(f, 0xffffffffULL); break;
+    case 12: r = fq12_pow_u64(f, 1ULL << 33); break;
+    case 13: r = fq12_pow_u64(f, 1ULL << 48); break;
+    case 14: r = fq12_pow_u64(f, 1ULL << 63); break;
+    case 15: r = fq12_pow_u64(f, 0xd20100000000ffffULL); break;
+    default: r = f;
+  }
+  write_fq12_std(r, out);
+}
+
+int native_abi_version_pairing() { return 1; }
+
+}  // extern "C"
+

@@ -138,3 +138,45 @@ def g1_scalar_mul(point: G1, scalar: Fr) -> G1:
     lib.g1_scalar_mul(_g1s_to_bytes([point]), scalar.n.to_bytes(32, "little"),
                       out)
     return _bytes_to_g1(out.raw)
+
+
+def gt_multi_pairing(pairs):
+    """prod_i e(P_i, Q_i) via the C++ tower (one shared final
+    exponentiation); returns a golden GT, or None when the native backend
+    is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gt_multi_pairing"):
+        return None
+    from ..golden.curve import GT
+    from ..golden.field import Fq12, Fq6, Fq2
+
+    n = len(pairs)
+    g1b = bytearray(96 * n)
+    g1i = bytearray(n)
+    g2b = bytearray(192 * n)
+    g2i = bytearray(n)
+    for i, (p, q) in enumerate(pairs):
+        if p.is_zero():
+            g1i[i] = 1
+        else:
+            g1b[i * 96:i * 96 + 48] = p.x.n.to_bytes(48, "little")
+            g1b[i * 96 + 48:i * 96 + 96] = p.y.n.to_bytes(48, "little")
+        if q.is_zero():
+            g2i[i] = 1
+        else:
+            o = i * 192
+            g2b[o:o + 48] = q.x.c0.n.to_bytes(48, "little")
+            g2b[o + 48:o + 96] = q.x.c1.n.to_bytes(48, "little")
+            g2b[o + 96:o + 144] = q.y.c0.n.to_bytes(48, "little")
+            g2b[o + 144:o + 192] = q.y.c1.n.to_bytes(48, "little")
+    out = bytes(576)
+    lib.gt_multi_pairing(bytes(g1b), bytes(g1i), bytes(g2b), bytes(g2i),
+                         ctypes.c_int64(n), out)
+    vals = [int.from_bytes(out[i * 48:(i + 1) * 48], "little")
+            for i in range(12)]
+    f2 = [Fq2.of_ints(vals[2 * i], vals[2 * i + 1]) for i in range(6)]
+    return GT(Fq12(Fq6(f2[0], f2[1], f2[2]), Fq6(f2[3], f2[4], f2[5])))
+
+
+def gt_pairing(p, q):
+    return gt_multi_pairing([(p, q)])

@@ -581,6 +581,113 @@ def _jit_window(group: str, c: int, chunked: bool = True,
     return jax.jit(run)
 
 
+def _prep_rows(points) -> jnp.ndarray:
+    """Affine (X, Y) batch -> (2N, R) ROW-major table [X;Y | X;-Y]: a row
+    gather by (order + N*sign) fetches sorted, sign-applied points in one
+    cheap op (TPU row gathers are ~10x faster than lane gathers)."""
+    X, Y = points
+
+    def fl(v):
+        return v.reshape(2 * v.shape[1], v.shape[2]) if v.ndim == 3 else v
+
+    negY = _neg_y(Y)
+    top = jnp.concatenate([fl(X), fl(Y)], axis=0)    # (R, N)
+    bot = jnp.concatenate([fl(X), fl(negY)], axis=0)
+    return jnp.concatenate([top, bot], axis=1).T     # (2N, R)
+
+
+def _weighted_reduce_v2(buckets: C.Point, ops: C.FieldOps, infinity,
+                        group: str, K: int = 32) -> C.Point:
+    """sum_b b * S_b via the single-pass weighted chunk-sum kernel:
+    sum_b b*v_b = sum_m w_m + K * sum_m m*s_m (recurse on the chunk sums).
+    """
+    B = buckets[0].shape[-1]
+    if B < 2 * K or not F._use_pallas():
+        buckets = _pad_buckets(buckets, -(-B // 64) * 64 if B >= 128 else B,
+                               infinity)
+        return _weighted_bucket_reduce(buckets, ops, infinity)
+    from . import pallas_kernels as PK
+    Bp = -(-B // K) * K
+    buckets = _pad_buckets(buckets, Bp, infinity)
+    s, w = PK.weighted_chunk_sums(buckets, K, group)
+    tw = _total_auto(w, ops, group)
+    ws = _weighted_reduce_v2(s, ops, infinity, group, K)
+    for _ in range(K.bit_length() - 1):
+        ws = C.point_double(ws, ops)
+    return C.point_add(tw, ws, ops)
+
+
+def _window_v2(prec_rows: jnp.ndarray, dig_signed: jnp.ndarray, c: int,
+               ops: C.FieldOps, infinity, group: str,
+               K: int = 32) -> C.Point:
+    """One Pippenger window, v2 pipeline: bitonic sort, one row gather
+    (sign baked in), fused segmented scan, gather-based (scatter-free)
+    bucket extraction, single-pass weighted reduce.  Returns the batch-1
+    window sum; collision lanes fall back to the safe log-depth path."""
+    from . import pallas_kernels as PK
+    n = dig_signed.shape[0]
+    M = n // K
+    nb = (1 << (c - 1)) + 1
+    absd = jnp.abs(dig_signed)
+    sign = dig_signed < 0
+    d_sorted, order = PK.bitonic_argsort(absd)
+    s_sorted = sign[order]
+    idx = order + jnp.where(s_sorted, jnp.int32(n), jnp.int32(0))
+    g = prec_rows[idx, :]                              # (N, R) row gather
+    R = g.shape[1]
+    pts3 = g.reshape(M, K, R).transpose(1, 2, 0)       # (K, R, M)
+    seg3 = d_sorted.reshape(M, K).T[:, None, :]
+    segp3 = jnp.concatenate([seg3[:1], seg3[:-1]], axis=0)
+    scanned3, collided = PK.bucket_scan_rows(pts3, seg3, segp3, group)
+
+    def to_curve(v):
+        # (rows, width) kernel rows -> curve coordinate layout
+        if group == "g2":
+            return v.reshape(2, v.shape[0] // 2, *v.shape[1:])
+        return v
+
+    def bucket_extract(_):
+        # chunk partials (inclusive in-chunk scan tails) -> cross-chunk
+        # carries, then per-bucket GATHERS at searchsorted tail positions
+        # (no scatters: TPU scatter of 2^18 updates costs milliseconds).
+        last_seg = d_sorted[K - 1::K]
+        first_seg = d_sorted[0::K]
+        tails_m = tuple(to_curve(v[K - 1]) for v in scanned3)   # (.., M)
+        car = _seg_scan_auto(tails_m, last_seg, ops, group)
+        match = jnp.concatenate(
+            [jnp.array([False]), last_seg[:-1] == first_seg[1:]])
+        cin = tuple(ops.select(match, _shift1(v), jnp.zeros_like(v))
+                    for v in car)
+
+        b_ids = jnp.arange(nb, dtype=jnp.int32)
+        pos = jnp.searchsorted(d_sorted, b_ids, side="right").astype(
+            jnp.int32) - 1
+        posc = jnp.clip(pos, 0, n - 1)
+        valid = (pos >= 0) & (d_sorted[posc] == b_ids)
+        kb = posc % K
+        mb = posc // K
+        tail = tuple(to_curve(v[kb, :, mb].T) for v in scanned3)  # (.., nb)
+        start = jnp.searchsorted(d_sorted, b_ids, side="left").astype(
+            jnp.int32)
+        needs_carry = valid & (start < mb * K)
+        carry_b = tuple(ops.select(needs_carry, v[..., mb],
+                                   jnp.zeros_like(v[..., mb]))
+                        for v in cin)
+        tail = tuple(ops.select(valid, v, jnp.zeros_like(v)) for v in tail)
+        return C.point_add(tail, carry_b, ops)
+
+    def bad(_):
+        pts_s = (to_curve(pts3[:, : R // 2].transpose(1, 2, 0)
+                          .reshape(R // 2, n)),
+                 to_curve(pts3[:, R // 2:].transpose(1, 2, 0)
+                          .reshape(R // 2, n)))
+        return _bucket_sums(C.affine_to_jac(pts_s, ops), d_sorted, nb, ops,
+                            infinity)
+
+    buckets = jax.lax.cond(jnp.any(collided), bad, bucket_extract, 0)
+    return _weighted_reduce_v2(buckets, ops, infinity, group, K)
+
+
 def _combine_windows(stacked: C.Point, c: int, n_windows: int,
                      ops: C.FieldOps, group: str = None) -> C.Point:
     """Per-window sums (batch axis = window, low first) -> final MSM point:
@@ -609,22 +716,31 @@ def _msm_fused_impl(points, scalars_std: jnp.ndarray, c: int,
     digits = _scalars_to_signed_windows(scalars_std, c)   # (W, N)
     n_windows = digits.shape[0]
     affine = len(points) == 2
+    n = points[0].shape[-1]
     nb = (1 << (c - 1)) + 1
     nb_pad = -(-nb // 64) * 64 if nb >= 128 else nb
     fused = affine and F._use_pallas()
+    v2 = fused and n % 32 == 0 and n // 32 >= 2
 
-    def window_body(carry, dig):
-        pts, absd = _apply_signs(points, dig, ops)
-        if fused:
-            buckets = _bucket_sums_fused(pts, absd, nb, ops, infinity, group)
-        elif affine:
-            buckets = _bucket_sums_chunked(pts, absd, nb, ops, infinity)
-        else:
-            buckets = _bucket_sums(pts, absd, nb, ops, infinity)
-        buckets = _pad_buckets(buckets, nb_pad, infinity)
-        ws = _weighted_bucket_reduce(buckets, ops, infinity,
-                                     group=group if fused else None)
-        return carry, ws
+    if v2:
+        prec = _prep_rows(points)
+
+        def window_body(carry, dig):
+            return carry, _window_v2(prec, dig, c, ops, infinity, group)
+    else:
+        def window_body(carry, dig):
+            pts, absd = _apply_signs(points, dig, ops)
+            if fused:
+                buckets = _bucket_sums_fused(pts, absd, nb, ops, infinity,
+                                             group)
+            elif affine:
+                buckets = _bucket_sums_chunked(pts, absd, nb, ops, infinity)
+            else:
+                buckets = _bucket_sums(pts, absd, nb, ops, infinity)
+            buckets = _pad_buckets(buckets, nb_pad, infinity)
+            ws = _weighted_bucket_reduce(buckets, ops, infinity,
+                                         group=group if fused else None)
+            return carry, ws
 
     _, wsums = jax.lax.scan(window_body, 0, digits)
     # wsums arrays are (W, ..., 1); move the window axis to the batch slot

@@ -1169,3 +1169,298 @@ def bitonic_argsort(keys: jnp.ndarray, interpret: bool = None):
     sk, order = bitonic_sort_pairs(
         keys, jnp.arange(n, dtype=jnp.int32), interpret=interpret)
     return sk, order
+
+
+# ---------------------------------------------------------------------------
+# Row-layout bucket scan + single-pass weighted chunk sums (v2 MSM window)
+# ---------------------------------------------------------------------------
+#
+# The v2 window pipeline (ops.msm._window_v2) feeds points as ONE stacked
+# row block per element — [X limbs; Y limbs] for G1, [X.c0; X.c1; Y.c0;
+# Y.c1] for G2 — prepared by a row-major gather (cheap on TPU, unlike
+# column gathers), already sign-applied.  This kernel is bucket_scan with a
+# single fused input ref.
+
+def _seg_scan_kernel2(seg_ref, segp_ref, pts_ref, ox_ref, oy_ref, oz_ref,
+                      fl_ref, acc_ref, *, fq2, nl, p_limbs, nprime,
+                      one_limbs):
+    t = pl.program_id(1)
+    if fq2:
+        mul = lambda a, b: _fq2_mul_body(a, b, p_limbs, nprime)
+        add = lambda a, b: _fq2_add_body(a, b, p_limbs)
+        sub = lambda a, b: _fq2_sub_body(a, b, p_limbs)
+        is_zero, sel = _fq2_is_zero_body, _sel2
+        n_rows = 2 * nl
+        readp = lambda off: ([pts_ref[0, off + j, :] for j in range(nl)],
+                             [pts_ref[0, off + nl + j, :] for j in range(nl)])
+        read_acc = lambda off: ([acc_ref[off + j, :] for j in range(nl)],
+                                [acc_ref[off + nl + j, :] for j in range(nl)])
+        flat = lambda x: list(x[0]) + list(x[1])
+    else:
+        mul = lambda a, b: _fq_mul_body(a, b, p_limbs, nprime)
+        add = lambda a, b: _fq_add_body(a, b, p_limbs)
+        sub = lambda a, b: _fq_sub_body(a, b, p_limbs)
+        is_zero, sel = _fq_is_zero_body, _select_limbs
+        n_rows = nl
+        readp = lambda off: [pts_ref[0, off + j, :] for j in range(nl)]
+        read_acc = lambda off: [acc_ref[off + j, :] for j in range(nl)]
+        flat = lambda x: list(x)
+
+    CX = readp(0)
+    CY = readp(n_rows)
+    lane0 = CX[0][0] if fq2 else CX[0]
+    one_fq = [jnp.full_like(lane0, jnp.uint32(v)) for v in one_limbs]
+    zeros_fq = [jnp.zeros_like(lane0)] * nl
+    one = (one_fq, zeros_fq) if fq2 else one_fq
+    zero_pt = (zeros_fq, zeros_fq) if fq2 else zeros_fq
+    cinf = is_zero(CX) & is_zero(CY)
+    CZ = sel(cinf, zero_pt, one)
+
+    accX = read_acc(0)
+    accY = read_acc(n_rows)
+    accZ = read_acc(2 * n_rows)
+    X3, Y3, Z3, col = _madd_core(
+        accX, accY, accZ, CX, CY, mul, add, sub, is_zero, sel, one)
+    same_seg = (seg_ref[0, 0, :] == segp_ref[0, 0, :]) & (t > 0)
+    X3 = sel(same_seg, X3, CX)
+    Y3 = sel(same_seg, Y3, CY)
+    Z3 = sel(same_seg, Z3, CZ)
+    flag_prev = jnp.where(t > 0, acc_ref[3 * n_rows, :], jnp.uint32(0))
+    flag = flag_prev | (col & same_seg).astype(jnp.uint32)
+
+    fX, fY, fZ = flat(X3), flat(Y3), flat(Z3)
+    for j in range(n_rows):
+        acc_ref[j, :] = fX[j]
+        acc_ref[n_rows + j, :] = fY[j]
+        acc_ref[2 * n_rows + j, :] = fZ[j]
+        ox_ref[0, j, :] = fX[j]
+        oy_ref[0, j, :] = fY[j]
+        oz_ref[0, j, :] = fZ[j]
+    acc_ref[3 * n_rows, :] = flag
+    for j in range(fl_ref.shape[0]):
+        fl_ref[j, :] = flag
+
+
+@functools.lru_cache(maxsize=16)
+def _seg_scan2_call(group: str, K: int, m: int, block: int, interpret: bool):
+    spec = F.FQ
+    nl = spec.nl
+    fq2 = group == "g2"
+    rows = 2 * nl if fq2 else nl
+    one_limbs = tuple(int(x) for x in F._int_to_limbs(spec.r_mod_p, nl))
+    kernel = functools.partial(
+        _seg_scan_kernel2, fq2=fq2, nl=nl,
+        p_limbs=tuple(int(x) for x in spec.p_limbs), nprime=spec.nprime,
+        one_limbs=one_limbs)
+    bs_pts = pl.BlockSpec((1, 2 * rows, block), lambda i, t: (t, 0, i),
+                          memory_space=pl.ANY if interpret else pltpu.VMEM)
+    bs3 = pl.BlockSpec((1, rows, block), lambda i, t: (t, 0, i),
+                       memory_space=pl.ANY if interpret else pltpu.VMEM)
+    bs_seg = pl.BlockSpec((1, 1, block), lambda i, t: (t, 0, i),
+                          memory_space=pl.ANY if interpret else pltpu.VMEM)
+    bs_fl = pl.BlockSpec((8, block), lambda i, t: (0, i),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((K, rows, m), jnp.uint32)
+                        for _ in range(3))
+        + (jax.ShapeDtypeStruct((8, m), jnp.uint32),),
+        grid=(m // block, K),
+        in_specs=[bs_seg, bs_seg, bs_pts],
+        out_specs=(bs3, bs3, bs3, bs_fl),
+        scratch_shapes=[pltpu.VMEM((3 * rows + 1, block), jnp.uint32)],
+        interpret=interpret,
+    )
+
+
+def bucket_scan_rows(pts3: jnp.ndarray, seg3: jnp.ndarray,
+                     segp3: jnp.ndarray, group: str = "g1",
+                     block: int = None, interpret: bool = None):
+    """Segmented mixed-add scan over pre-laid-out inputs: pts3 is
+    (K, 2*rows, M) stacked [X; Y] rows (sign-applied, (0,0) = infinity),
+    seg3/segp3 are (K, 1, M).  Returns ((K, rows, M) X/Y/Z scanned,
+    (M,) collision flags)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if block is None:
+        block = 2048 if group == "g1" else 1024
+    K, rows2, m = pts3.shape
+    blk = min(block, 1 << max(7, (m - 1).bit_length()))
+    mpad = -(-m // blk) * blk
+    if mpad != m:
+        pts3 = jnp.pad(pts3, ((0, 0), (0, 0), (0, mpad - m)))
+        seg3 = jnp.pad(seg3, ((0, 0), (0, 0), (0, mpad - m)))
+        segp3 = jnp.pad(segp3, ((0, 0), (0, 0), (0, mpad - m)))
+    ox, oy, oz, fl = _seg_scan2_call(group, K, mpad, blk, interpret)(
+        seg3, segp3, pts3)
+    return ((ox[..., :m], oy[..., :m], oz[..., :m]), fl[0, :m] != 0)
+
+
+# ---------------------------------------------------------------------------
+# Single-pass weighted chunk sums:  per chunk m of K Jacobian points,
+# computes  s_m = sum_t v_t  and  w_m = sum_t t * v_t  (local weights) in
+# one reversed scan:  sum_t t*v_t = sum_{u>=1} suffix_u.
+# ---------------------------------------------------------------------------
+
+def _wsum_kernel(pts_ref, os_ref, ow_ref, acc_ref, *, K, fq2, nl, p_limbs,
+                 nprime):
+    t = pl.program_id(1)  # processes element u = K-1-t (reversed index map)
+    if fq2:
+        mul = lambda a, b: _fq2_mul_body(a, b, p_limbs, nprime)
+        add = lambda a, b: _fq2_add_body(a, b, p_limbs)
+        sub = lambda a, b: _fq2_sub_body(a, b, p_limbs)
+        is_zero, sel = _fq2_is_zero_body, _sel2
+        dbl = lambda X, Y, Z: _double_body2(X, Y, Z, p_limbs, nprime)
+        n_rows = 2 * nl
+        readp = lambda off: ([pts_ref[0, off + j, :] for j in range(nl)],
+                             [pts_ref[0, off + nl + j, :] for j in range(nl)])
+        read_acc = lambda off: ([acc_ref[off + j, :] for j in range(nl)],
+                                [acc_ref[off + nl + j, :] for j in range(nl)])
+        flat = lambda x: list(x[0]) + list(x[1])
+    else:
+        mul = lambda a, b: _fq_mul_body(a, b, p_limbs, nprime)
+        add = lambda a, b: _fq_add_body(a, b, p_limbs)
+        sub = lambda a, b: _fq_sub_body(a, b, p_limbs)
+        is_zero, sel = _fq_is_zero_body, _select_limbs
+        dbl = lambda X, Y, Z: _double_body(X, Y, Z, p_limbs, nprime)
+        n_rows = nl
+        readp = lambda off: [pts_ref[0, off + j, :] for j in range(nl)]
+        read_acc = lambda off: [acc_ref[off + j, :] for j in range(nl)]
+        flat = lambda x: list(x)
+
+    def padd(P, Q):
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        Z1Z1 = mul(Z1, Z1)
+        Z2Z2 = mul(Z2, Z2)
+        U1 = mul(X1, Z2Z2)
+        U2 = mul(X2, Z1Z1)
+        S1 = mul(mul(Y1, Z2), Z2Z2)
+        S2 = mul(mul(Y2, Z1), Z1Z1)
+        H = sub(U2, U1)
+        r = sub(S2, S1)
+        H2 = add(H, H)
+        I = mul(H2, H2)
+        J = mul(H, I)
+        r2 = add(r, r)
+        V = mul(U1, I)
+        X3 = sub(sub(mul(r2, r2), J), add(V, V))
+        S1J = mul(S1, J)
+        Y3 = sub(mul(r2, sub(V, X3)), add(S1J, S1J))
+        Zs = mul(add(Z1, Z2), add(Z1, Z2))
+        Z3 = mul(sub(sub(Zs, Z1Z1), Z2Z2), H)
+        p_inf = is_zero(Z1)
+        q_inf = is_zero(Z2)
+        same = is_zero(H) & is_zero(r) & ~p_inf & ~q_inf
+        dX, dY, dZ = dbl(X1, Y1, Z1)
+        X3 = sel(same, dX, X3)
+        Y3 = sel(same, dY, Y3)
+        Z3 = sel(same, dZ, Z3)
+        X3 = sel(q_inf, X1, sel(p_inf, X2, X3))
+        Y3 = sel(q_inf, Y1, sel(p_inf, Y2, Y3))
+        Z3 = sel(q_inf, Z1, sel(p_inf, Z2, Z3))
+        return X3, Y3, Z3
+
+    V = (readp(0), readp(n_rows), readp(2 * n_rows))
+    first = t == 0
+    sX = read_acc(0)
+    sY = read_acc(n_rows)
+    sZ = read_acc(2 * n_rows)
+    aX, aY, aZ = padd((sX, sY, sZ), V)
+    sX = sel(first, V[0], aX)
+    sY = sel(first, V[1], aY)
+    sZ = sel(first, V[2], aZ)
+    # w += s after processing u = K-1-t, for u >= 1 (t <= K-2)
+    wX = read_acc(3 * n_rows)
+    wY = read_acc(4 * n_rows)
+    wZ = read_acc(5 * n_rows)
+    zeros = ([jnp.zeros_like(x) for x in flat(sX)[:n_rows]])
+    rz = lambda rows_list: (([rows_list[j] for j in range(nl)],
+                             [rows_list[nl + j] for j in range(nl)])
+                            if fq2 else rows_list)
+    wX = sel(first, rz(zeros), wX)
+    wY = sel(first, rz(zeros), wY)
+    wZ = sel(first, rz(zeros), wZ)  # Z = 0: infinity
+    bX, bY, bZ = padd((wX, wY, wZ), (sX, sY, sZ))
+    last = t == K - 1
+    wX = sel(last, wX, bX)
+    wY = sel(last, wY, bY)
+    wZ = sel(last, wZ, bZ)
+
+    fsX, fsY, fsZ = flat(sX), flat(sY), flat(sZ)
+    fwX, fwY, fwZ = flat(wX), flat(wY), flat(wZ)
+    for j in range(n_rows):
+        acc_ref[j, :] = fsX[j]
+        acc_ref[n_rows + j, :] = fsY[j]
+        acc_ref[2 * n_rows + j, :] = fsZ[j]
+        acc_ref[3 * n_rows + j, :] = fwX[j]
+        acc_ref[4 * n_rows + j, :] = fwY[j]
+        acc_ref[5 * n_rows + j, :] = fwZ[j]
+        os_ref[0, j, :] = fsX[j]
+        os_ref[0, n_rows + j, :] = fsY[j]
+        os_ref[0, 2 * n_rows + j, :] = fsZ[j]
+        ow_ref[0, j, :] = fwX[j]
+        ow_ref[0, n_rows + j, :] = fwY[j]
+        ow_ref[0, 2 * n_rows + j, :] = fwZ[j]
+
+
+@functools.lru_cache(maxsize=16)
+def _wsum_call(group: str, K: int, m: int, block: int, interpret: bool):
+    spec = F.FQ
+    nl = spec.nl
+    fq2 = group == "g2"
+    rows = 2 * nl if fq2 else nl
+    kernel = functools.partial(
+        _wsum_kernel, K=K, fq2=fq2, nl=nl,
+        p_limbs=tuple(int(x) for x in spec.p_limbs), nprime=spec.nprime)
+    # reversed index map: grid step t reads chunk element K-1-t
+    bs_in = pl.BlockSpec((1, 3 * rows, block), lambda i, t: (K - 1 - t, 0, i),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM)
+    bs_out = pl.BlockSpec((1, 3 * rows, block), lambda i, t: (0, 0, i),
+                          memory_space=pl.ANY if interpret else pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((1, 3 * rows, m), jnp.uint32)
+                        for _ in range(2)),
+        grid=(m // block, K),
+        in_specs=[bs_in],
+        out_specs=(bs_out, bs_out),
+        scratch_shapes=[pltpu.VMEM((6 * rows, block), jnp.uint32)],
+        interpret=interpret,
+    )
+
+
+def weighted_chunk_sums(points, K: int, group: str = "g1",
+                        block: int = None, interpret: bool = None):
+    """Per-chunk (sum, local-weighted sum) of Jacobian points: chunk m =
+    points[m*K .. m*K+K-1], returns two point batches of N/K:
+    s_m = sum_t v_t and w_m = sum_t t*v_t."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if block is None:
+        block = 1024 if group == "g1" else 512
+    n = points[0].shape[-1]
+    assert n % K == 0
+    m = n // K
+    rows = points[0].shape[-2] if points[0].ndim == 2 else 2 * points[0].shape[-2]
+
+    def to3(x):
+        r = x.shape[0]
+        return x.reshape(r, m, K).transpose(2, 0, 1)
+
+    flat_in = [(_flat2(x) if group == "g2" else x) for x in points]
+    pts3 = jnp.concatenate([to3(x) for x in flat_in], axis=1)  # (K, 3r, M)
+    blk = min(block, 1 << max(7, (m - 1).bit_length()))
+    mpad = -(-m // blk) * blk
+    if mpad != m:
+        pts3 = jnp.pad(pts3, ((0, 0), (0, 0), (0, mpad - m)))
+    os_, ow_ = _wsum_call(group, K, mpad, blk, interpret)(pts3)
+
+    def split(o):
+        r = o.shape[1] // 3
+        parts = (o[0, :r, :m], o[0, r:2 * r, :m], o[0, 2 * r:, :m])
+        if group == "g2":
+            return tuple(_unflat2(p) for p in parts)
+        return parts
+
+    return split(os_), split(ow_)

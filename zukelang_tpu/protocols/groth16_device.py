@@ -25,7 +25,7 @@ from ..core import flat as flat_mod
 from ..engine import jax_engine as je
 from ..golden.curve import G1, G2, GT
 from ..golden.field import Fr
-from ..golden.pairing import pairing
+from ..pairing import pairing
 from ..ops import curve_jax as C
 from ..ops import field_jax as F
 from ..ops import msm as msm_mod

@@ -21,7 +21,7 @@ from ..core.var import Var
 from ..engine.base import Engine, GoldenEngine
 from ..golden.curve import G1, G2, GT
 from ..golden.field import Fr
-from ..golden.pairing import pairing
+from ..pairing import pairing
 
 
 @dataclass
