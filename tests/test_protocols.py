@@ -110,3 +110,45 @@ def test_check_u32_end_to_end_groth16():
                lambda x: L.add_u32(x, L.uint32(7)))
     res = random_test(e, Groth16())
     assert res.verified
+
+
+def test_groth16_batch_verify():
+    from zukelang_tpu.core import comp as comp_mod
+    from zukelang_tpu.core import lang as L
+    from zukelang_tpu.core import qap as qap_mod
+    from zukelang_tpu.golden.field import Fr
+    from zukelang_tpu.protocols.batch import (Transcript,
+                                              batch_verify_groth16,
+                                              prove_many)
+    from zukelang_tpu.protocols.groth16 import Groth16
+    from zukelang_tpu.rng import Gen
+
+    e = L.let_(L.input("x", L.SECRET, L.ty_field),
+               lambda x: L.add(L.mul(L.mul(x, x), x), L.add(x, L.fnum(3))))
+    compiled = comp_mod.compile_expr(e)
+    q = qap_mod.build(compiled.gates)
+    proto = Groth16()
+    pk, vk = proto.keygen(Gen(b"kg"), compiled.circuit, q)
+
+    sols = []
+    for xval in (4, 11, 123456):
+        _, env = comp_mod.convert_inputs(compiled.inputs,
+                                         {"x": L.v_field(Fr(xval))})
+        sols.append(comp_mod.code_eval_list(env, compiled.codes))
+    proofs = prove_many(proto, Gen(b"pv"), q, pk, sols)
+    stmts = []
+    for sol, prf in zip(sols, proofs):
+        public = {v: f for v, f in sol.items()
+                  if v not in compiled.circuit.mids}
+        assert proto.verify(public, vk, prf)
+        stmts.append((public, prf))
+    assert batch_verify_groth16(vk, stmts)
+    # tamper one statement -> reject
+    bad = [(dict(p), pr) for p, pr in stmts]
+    k = sorted(bad[1][0])[-1]
+    bad[1][0][k] = bad[1][0][k] + Fr(1)
+    assert not batch_verify_groth16(vk, bad)
+    # transcript determinism
+    t1 = Transcript(b"t").absorb(b"a", b"xyz").challenge_fr(b"c")
+    t2 = Transcript(b"t").absorb(b"a", b"xyz").challenge_fr(b"c")
+    assert t1 == t2

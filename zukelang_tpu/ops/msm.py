@@ -617,13 +617,59 @@ def _weighted_reduce_v2(buckets: C.Point, ops: C.FieldOps, infinity,
     return C.point_add(tw, ws, ops)
 
 
+def _pad_blocks(x: jnp.ndarray, nblk: int, per_in: int,
+                per_out: int) -> jnp.ndarray:
+    """(.., nblk*per_in) -> (.., nblk*per_out), zero (= infinity
+    coordinate) padding at each block's high end."""
+    if per_in == per_out:
+        return x
+    shape = x.shape[:-1]
+    xb = x.reshape(shape + (nblk, per_in))
+    xb = jnp.pad(xb, [(0, 0)] * (len(shape) + 1) + [(0, per_out - per_in)])
+    return xb.reshape(shape + (nblk * per_out,))
+
+
+def _wreduce_batched(v: C.Point, nblk: int, per: int, ops: C.FieldOps,
+                     group: str, K: int = 32) -> Tuple[C.Point, C.Point]:
+    """Batched weighted reduction of nblk independent bucket blocks laid
+    out contiguously: v is (.., nblk*per) with per % K == 0.  Returns
+    (W, S) of width nblk: W_j = sum_b b*v_b (local b in [0, per)) and
+    S_j = sum_b v_b.
+
+    One weighted_chunk_sums kernel per level; the recursion stacks the w
+    and s streams into a single 2*nblk-block call, so the whole tail costs
+    O(log_K per) kernels regardless of nblk — this is what makes reducing
+    ALL of an MSM's windows at once cheap, where per-window recursions
+    drowned in small-op dispatch overhead."""
+    from . import pallas_kernels as PK
+    s, w = PK.weighted_chunk_sums(v, K, group)   # widths nblk * per/K
+    m_per = per // K
+    if m_per == 1:
+        return w, s
+    m_pad = -(-m_per // K) * K
+    stacked = tuple(
+        jnp.concatenate([_pad_blocks(a, nblk, m_per, m_pad),
+                         _pad_blocks(b, nblk, m_per, m_pad)], axis=-1)
+        for a, b in zip(w, s))
+    inner_w, inner_s = _wreduce_batched(stacked, 2 * nblk, m_pad, ops,
+                                        group, K)
+    sum_w = tuple(x[..., :nblk] for x in inner_s)    # sum_m w_m
+    ws_s = tuple(x[..., nblk:] for x in inner_w)     # sum_m m*s_m
+    sum_s = tuple(x[..., nblk:] for x in inner_s)    # sum_m s_m
+    for _ in range(K.bit_length() - 1):              # * K
+        ws_s = C.point_double(ws_s, ops)
+    total = C.point_add(sum_w, ws_s, ops)
+    return total, sum_s
+
+
 def _window_v2(prec_rows: jnp.ndarray, dig_signed: jnp.ndarray, c: int,
                ops: C.FieldOps, infinity, group: str,
                K: int = 32) -> C.Point:
     """One Pippenger window, v2 pipeline: bitonic sort, one row gather
     (sign baked in), fused segmented scan, gather-based (scatter-free)
-    bucket extraction, single-pass weighted reduce.  Returns the batch-1
-    window sum; collision lanes fall back to the safe log-depth path."""
+    bucket extraction.  Returns the window's BUCKET array (the weighted
+    reduce runs batched across all windows afterwards); collision lanes
+    fall back to the safe log-depth path."""
     from . import pallas_kernels as PK
     n = dig_signed.shape[0]
     M = n // K
@@ -684,8 +730,7 @@ def _window_v2(prec_rows: jnp.ndarray, dig_signed: jnp.ndarray, c: int,
         return _bucket_sums(C.affine_to_jac(pts_s, ops), d_sorted, nb, ops,
                             infinity)
 
-    buckets = jax.lax.cond(jnp.any(collided), bad, bucket_extract, 0)
-    return _weighted_reduce_v2(buckets, ops, infinity, group, K)
+    return jax.lax.cond(jnp.any(collided), bad, bucket_extract, 0)
 
 
 def _combine_windows(stacked: C.Point, c: int, n_windows: int,
@@ -724,23 +769,33 @@ def _msm_fused_impl(points, scalars_std: jnp.ndarray, c: int,
 
     if v2:
         prec = _prep_rows(points)
+        nbp = -(-nb // 32) * 32
 
         def window_body(carry, dig):
-            return carry, _window_v2(prec, dig, c, ops, infinity, group)
-    else:
-        def window_body(carry, dig):
-            pts, absd = _apply_signs(points, dig, ops)
-            if fused:
-                buckets = _bucket_sums_fused(pts, absd, nb, ops, infinity,
-                                             group)
-            elif affine:
-                buckets = _bucket_sums_chunked(pts, absd, nb, ops, infinity)
-            else:
-                buckets = _bucket_sums(pts, absd, nb, ops, infinity)
-            buckets = _pad_buckets(buckets, nb_pad, infinity)
-            ws = _weighted_bucket_reduce(buckets, ops, infinity,
-                                         group=group if fused else None)
-            return carry, ws
+            buckets = _window_v2(prec, dig, c, ops, infinity, group)
+            return carry, _pad_buckets(buckets, nbp, infinity)
+
+        _, buckets_all = jax.lax.scan(window_body, 0, digits)
+        # (W, coord.., nbp) -> (coord.., W*nbp), then ONE batched reduce
+        flat = tuple(
+            jnp.moveaxis(b, 0, -2).reshape(b.shape[1:-1] + (n_windows * nbp,))
+            for b in buckets_all)
+        totals, _ = _wreduce_batched(flat, n_windows, nbp, ops, group)
+        return _combine_windows(totals, c, n_windows, ops, group)
+
+    def window_body(carry, dig):
+        pts, absd = _apply_signs(points, dig, ops)
+        if fused:
+            buckets = _bucket_sums_fused(pts, absd, nb, ops, infinity,
+                                         group)
+        elif affine:
+            buckets = _bucket_sums_chunked(pts, absd, nb, ops, infinity)
+        else:
+            buckets = _bucket_sums(pts, absd, nb, ops, infinity)
+        buckets = _pad_buckets(buckets, nb_pad, infinity)
+        ws = _weighted_bucket_reduce(buckets, ops, infinity,
+                                     group=group if fused else None)
+        return carry, ws
 
     _, wsums = jax.lax.scan(window_body, 0, digits)
     # wsums arrays are (W, ..., 1); move the window axis to the batch slot

@@ -13,7 +13,7 @@ which is where the TPU path plugs in.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from ..core import poly
 from ..core.circuit import Circuit
@@ -41,13 +41,18 @@ class PKey:
 
 @dataclass
 class VKey:
-    """groth16.ml:36-43."""
+    """groth16.ml:36-43; alpha_g1/beta_g2 are extensions beyond the
+    reference schema (kept out of the interop JSON) enabling batch
+    verification (protocols.batch), which needs alpha and beta as points
+    rather than only the precomputed e(alpha, beta)."""
     one1: G1
     ltgm_io: Dict[Var, G1]      # {L_k(tau)/gamma} for ios
     one2: G2
     gm: G2
     d: G2
     ab: GT                      # e(alpha, beta)
+    alpha_g1: Optional[G1] = None
+    beta_g2: Optional[G2] = None
 
 
 @dataclass
@@ -118,7 +123,8 @@ class Groth16:
                     ti2=ti2)
         vkey = VKey(one1=G1.generator(), ltgm_io=ltgm_io, one2=G2.generator(),
                     gm=base_g2[2], d=base_g2[1],
-                    ab=pairing(base_g1[0], base_g2[0]))
+                    ab=pairing(base_g1[0], base_g2[0]),
+                    alpha_g1=base_g1[0], beta_g2=base_g2[0])
         return pkey, vkey
 
     # -- prove (groth16.ml:116-161, 235-237) -------------------------------

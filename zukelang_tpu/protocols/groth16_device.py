@@ -56,6 +56,8 @@ class DeviceVKey:
     gm: G2
     d: G2
     ab: GT
+    alpha_g1: Optional[G1] = None   # batch-verification extensions
+    beta_g2: Optional[G2] = None
 
 
 @functools.lru_cache(maxsize=8)
@@ -191,7 +193,8 @@ def keygen_device(fc: flat_mod.FlatCircuit, mids: Sequence, ios: Sequence,
         one1=g1,
         ltgm_io={v: ltgm_io_pts[i] for i, v in enumerate(sorted(ios))},
         one2=g2, gm=g2 * gamma, d=g2 * delta,
-        ab=pairing(g1 * alpha, g2 * beta))
+        ab=pairing(g1 * alpha, g2 * beta),
+        alpha_g1=g1 * alpha, beta_g2=g2 * beta)
     return crs, vkey
 
 
