@@ -663,13 +663,20 @@ def _wreduce_batched(v: C.Point, nblk: int, per: int, ops: C.FieldOps,
 
 
 def _window_v2(prec_rows: jnp.ndarray, dig_signed: jnp.ndarray, c: int,
-               ops: C.FieldOps, infinity, group: str,
-               K: int = 32) -> C.Point:
+               ops: C.FieldOps, infinity, group: str, K: int = 32):
     """One Pippenger window, v2 pipeline: bitonic sort, one row gather
     (sign baked in), fused segmented scan, gather-based (scatter-free)
-    bucket extraction.  Returns the window's BUCKET array (the weighted
-    reduce runs batched across all windows afterwards); collision lanes
-    fall back to the safe log-depth path."""
+    tail extraction.  Cross-chunk carries, bucket assembly and the
+    weighted reduce are DEFERRED to one batched pass over all windows
+    (per-window small-width ops drown in dispatch overhead).
+
+    Returns kernel-rows-layout arrays:
+      tails_m (3 x (rows, M))   in-chunk partials at each chunk end
+      tail    (3 x (rows, nb))  in-chunk partial at each bucket's tail
+      mb (nb,), needs_carry (nb,), valid (nb,)
+      last_seg / first_seg (M,)
+      collided () bool
+    """
     from . import pallas_kernels as PK
     n = dig_signed.shape[0]
     M = n // K
@@ -686,51 +693,71 @@ def _window_v2(prec_rows: jnp.ndarray, dig_signed: jnp.ndarray, c: int,
     segp3 = jnp.concatenate([seg3[:1], seg3[:-1]], axis=0)
     scanned3, collided = PK.bucket_scan_rows(pts3, seg3, segp3, group)
 
+    last_seg = d_sorted[K - 1::K]
+    first_seg = d_sorted[0::K]
+    tails_m = tuple(v[K - 1] for v in scanned3)        # (rows, M)
+
+    b_ids = jnp.arange(nb, dtype=jnp.int32)
+    pos = jnp.searchsorted(d_sorted, b_ids, side="right").astype(
+        jnp.int32) - 1
+    posc = jnp.clip(pos, 0, n - 1)
+    valid = (pos >= 0) & (d_sorted[posc] == b_ids)
+    kb = posc % K
+    mb = posc // K
+    tail = tuple(v[kb, :, mb].T for v in scanned3)     # (rows, nb)
+    start = jnp.searchsorted(d_sorted, b_ids, side="left").astype(jnp.int32)
+    needs_carry = valid & (start < mb * K)
+    return (tails_m, tail, mb, needs_carry, valid, last_seg, first_seg,
+            jnp.any(collided))
+
+
+def _assemble_buckets_batched(outs, n_windows: int, nb: int, M: int,
+                              ops: C.FieldOps, group: str,
+                              K: int = 32) -> C.Point:
+    """Batched cross-window completion of _window_v2: ONE segmented carry
+    scan over all windows' chunk partials, gather-based carry application,
+    one wide point_add -> (coord.., W*nb) buckets."""
+    tails_all, tail_all, mb_all, nc_all, valid_all, last_all, first_all = (
+        outs[0], outs[1], outs[2], outs[3], outs[4], outs[5], outs[6])
+
     def to_curve(v):
-        # (rows, width) kernel rows -> curve coordinate layout
         if group == "g2":
-            return v.reshape(2, v.shape[0] // 2, *v.shape[1:])
+            return v.reshape(v.shape[:-2] + (2, v.shape[-2] // 2, v.shape[-1]))
         return v
 
-    def bucket_extract(_):
-        # chunk partials (inclusive in-chunk scan tails) -> cross-chunk
-        # carries, then per-bucket GATHERS at searchsorted tail positions
-        # (no scatters: TPU scatter of 2^18 updates costs milliseconds).
-        last_seg = d_sorted[K - 1::K]
-        first_seg = d_sorted[0::K]
-        tails_m = tuple(to_curve(v[K - 1]) for v in scanned3)   # (.., M)
-        car = _seg_scan_auto(tails_m, last_seg, ops, group)
-        match = jnp.concatenate(
-            [jnp.array([False]), last_seg[:-1] == first_seg[1:]])
-        cin = tuple(ops.select(match, _shift1(v), jnp.zeros_like(v))
-                    for v in car)
+    def wflat(v):
+        # (W, rows, width) -> (rows, W*width)
+        return jnp.moveaxis(v, 0, -2).reshape(
+            v.shape[1], v.shape[0] * v.shape[2])
 
-        b_ids = jnp.arange(nb, dtype=jnp.int32)
-        pos = jnp.searchsorted(d_sorted, b_ids, side="right").astype(
-            jnp.int32) - 1
-        posc = jnp.clip(pos, 0, n - 1)
-        valid = (pos >= 0) & (d_sorted[posc] == b_ids)
-        kb = posc % K
-        mb = posc // K
-        tail = tuple(to_curve(v[kb, :, mb].T) for v in scanned3)  # (.., nb)
-        start = jnp.searchsorted(d_sorted, b_ids, side="left").astype(
-            jnp.int32)
-        needs_carry = valid & (start < mb * K)
-        carry_b = tuple(ops.select(needs_carry, v[..., mb],
-                                   jnp.zeros_like(v[..., mb]))
-                        for v in cin)
-        tail = tuple(ops.select(valid, v, jnp.zeros_like(v)) for v in tail)
-        return C.point_add(tail, carry_b, ops)
+    tails_flat = tuple(to_curve(wflat(v)) for v in tails_all)
+    # window-disjoint segment ids keep carries from crossing windows
+    seg_flat = (jnp.arange(n_windows, dtype=jnp.int32)[:, None] * (nb + 1)
+                + last_all).reshape(n_windows * M)
+    car = _seg_scan_auto(tails_flat, seg_flat, ops, group)
 
-    def bad(_):
-        pts_s = (to_curve(pts3[:, : R // 2].transpose(1, 2, 0)
-                          .reshape(R // 2, n)),
-                 to_curve(pts3[:, R // 2:].transpose(1, 2, 0)
-                          .reshape(R // 2, n)))
-        return _bucket_sums(C.affine_to_jac(pts_s, ops), d_sorted, nb, ops,
-                            infinity)
+    match = jnp.concatenate(
+        [jnp.zeros((n_windows, 1), bool),
+         last_all[:, :-1] == first_all[:, 1:]], axis=1).reshape(-1)
+    cin = tuple(ops.select(match, _shift1(v), jnp.zeros_like(v))
+                for v in car)
+    # per-bucket carry: row-gather cin at each bucket tail's chunk
+    idx = (jnp.arange(n_windows, dtype=jnp.int32)[:, None] * M
+           + mb_all).reshape(-1)
 
-    return jax.lax.cond(jnp.any(collided), bad, bucket_extract, 0)
+    def row_gather(v):
+        flat = v.reshape(-1, v.shape[-1]) if v.ndim > 2 else v
+        out = flat.T[idx, :].T
+        return out.reshape(v.shape[:-1] + (idx.shape[0],))
+
+    nc_flat = nc_all.reshape(-1)
+    carry_b = tuple(ops.select(nc_flat, row_gather(v), jnp.zeros_like(
+        row_gather(v))) for v in cin)
+    valid_flat = valid_all.reshape(-1)
+    tail_flat = tuple(to_curve(wflat(v)) for v in tail_all)
+    tail_flat = tuple(ops.select(valid_flat, v, jnp.zeros_like(v))
+                      for v in tail_flat)
+    return C.point_add(tail_flat, carry_b, ops)
 
 
 def _combine_windows(stacked: C.Point, c: int, n_windows: int,
@@ -770,18 +797,41 @@ def _msm_fused_impl(points, scalars_std: jnp.ndarray, c: int,
     if v2:
         prec = _prep_rows(points)
         nbp = -(-nb // 32) * 32
+        M = n // 32
 
         def window_body(carry, dig):
-            buckets = _window_v2(prec, dig, c, ops, infinity, group)
-            return carry, _pad_buckets(buckets, nbp, infinity)
+            return carry, _window_v2(prec, dig, c, ops, infinity, group)
 
-        _, buckets_all = jax.lax.scan(window_body, 0, digits)
-        # (W, coord.., nbp) -> (coord.., W*nbp), then ONE batched reduce
-        flat = tuple(
-            jnp.moveaxis(b, 0, -2).reshape(b.shape[1:-1] + (n_windows * nbp,))
-            for b in buckets_all)
-        totals, _ = _wreduce_batched(flat, n_windows, nbp, ops, group)
-        return _combine_windows(totals, c, n_windows, ops, group)
+        _, outs = jax.lax.scan(window_body, 0, digits)
+        collided_any = jnp.any(outs[7])
+
+        def good(_):
+            buckets = _assemble_buckets_batched(
+                outs, n_windows, nb, M, ops, group)   # (coord.., W*nb)
+            buckets = _pad_blocks(
+                buckets[0], n_windows, nb, nbp), _pad_blocks(
+                buckets[1], n_windows, nb, nbp), _pad_blocks(
+                buckets[2], n_windows, nb, nbp)
+            totals, _ = _wreduce_batched(buckets, n_windows, nbp, ops, group)
+            return _combine_windows(totals, c, n_windows, ops, group)
+
+        def safe(_):
+            # some lane hit the doubling-degenerate mixed add (duplicate
+            # points in a bucket): redo the whole MSM on the log-depth
+            # general-add path — correct for any input.
+            def body(carry, dig):
+                pts, absd = _apply_signs(points, dig, ops)
+                buckets = _bucket_sums(C.affine_to_jac(pts, ops), absd, nb,
+                                       ops, infinity)
+                ws = _weighted_bucket_reduce(
+                    _pad_buckets(buckets, nb_pad, infinity), ops, infinity)
+                return carry, ws
+
+            _, wsums = jax.lax.scan(body, 0, digits)
+            stacked = tuple(jnp.moveaxis(v, 0, -1)[..., 0, :] for v in wsums)
+            return _combine_windows(stacked, c, n_windows, ops, None)
+
+        return jax.lax.cond(collided_any, safe, good, 0)
 
     def window_body(carry, dig):
         pts, absd = _apply_signs(points, dig, ops)
