@@ -663,7 +663,8 @@ def _wreduce_batched(v: C.Point, nblk: int, per: int, ops: C.FieldOps,
 
 
 def _window_v2(prec_rows: jnp.ndarray, dig_signed: jnp.ndarray, c: int,
-               ops: C.FieldOps, infinity, group: str, K: int = 32):
+               ops: C.FieldOps, infinity, group: str, K: int = 32,
+               base=None, n: int = None):
     """One Pippenger window, v2 pipeline: bitonic sort, one row gather
     (sign baked in), fused segmented scan, gather-based (scatter-free)
     tail extraction.  Cross-chunk carries, bucket assembly and the
@@ -678,7 +679,8 @@ def _window_v2(prec_rows: jnp.ndarray, dig_signed: jnp.ndarray, c: int,
       collided () bool
     """
     from . import pallas_kernels as PK
-    n = dig_signed.shape[0]
+    if n is None:
+        n = dig_signed.shape[0]
     M = n // K
     nb = (1 << (c - 1)) + 1
     absd = jnp.abs(dig_signed)
@@ -686,6 +688,8 @@ def _window_v2(prec_rows: jnp.ndarray, dig_signed: jnp.ndarray, c: int,
     d_sorted, order = PK.bitonic_argsort(absd)
     s_sorted = sign[order]
     idx = order + jnp.where(s_sorted, jnp.int32(n), jnp.int32(0))
+    if base is not None:
+        idx = idx + base   # flat multi-table offset (msm_many)
     g = prec_rows[idx, :]                              # (N, R) row gather
     R = g.shape[1]
     pts3 = g.reshape(M, K, R).transpose(1, 2, 0)       # (K, R, M)
@@ -761,11 +765,13 @@ def _assemble_buckets_batched(outs, n_windows: int, nb: int, M: int,
 
 
 def _combine_windows(stacked: C.Point, c: int, n_windows: int,
-                     ops: C.FieldOps, group: str = None) -> C.Point:
-    """Per-window sums (batch axis = window, low first) -> final MSM point:
-    window w doubled c*w times (all windows in parallel under a masked
-    double), then summed."""
-    widx = jnp.arange(n_windows)
+                     ops: C.FieldOps, group: str = None,
+                     n_msm: int = 1) -> C.Point:
+    """Per-window sums (batch axis = n_msm blocks of n_windows, low window
+    first) -> one point per MSM: window w doubled c*w times (all windows
+    of all MSMs in parallel under a masked double), then per-block sums.
+    Returns batch n_msm."""
+    widx = jnp.tile(jnp.arange(n_windows), n_msm)
 
     def body(d, p):
         dX, dY, dZ = C.point_double(p, ops)
@@ -775,7 +781,11 @@ def _combine_windows(stacked: C.Point, c: int, n_windows: int,
                 ops.select(cond, dZ, p[2]))
 
     pts = jax.lax.fori_loop(0, c * (n_windows - 1), body, stacked)
-    return _total_auto(pts, ops, group)
+    if n_msm == 1:
+        return _total_auto(pts, ops, group)
+    seg = jnp.repeat(jnp.arange(n_msm, dtype=jnp.int32), n_windows)
+    sc = _hs_segmented_scan(pts, seg, ops)
+    return tuple(v[..., n_windows - 1::n_windows] for v in sc)
 
 
 def _msm_fused_impl(points, scalars_std: jnp.ndarray, c: int,
@@ -860,6 +870,114 @@ def _jit_msm_fused(group: str, c: int, affine: bool):
     infinity = C.infinity_g1 if group == "g1" else C.infinity_g2
     return jax.jit(functools.partial(
         _msm_fused_impl, c=c, ops=ops, infinity=infinity, group=group))
+
+
+def _msm_many_fused_impl(tables, scalars_mont: jnp.ndarray, pmap, c: int,
+                         ops: C.FieldOps, infinity, group: str) -> C.Point:
+    """B same-size MSMs of one group in ONE traced program — the whole
+    Groth16 G1 prove side is a single dispatch.
+
+    tables: tuple of T affine (X, Y) point sets, each width n; pmap: static
+    length-B tuple, MSM j uses tables[pmap[j]]; scalars_mont: (B, nl, n)
+    MONTGOMERY scalars (converted in-program).  The lax.scan runs over all
+    B*W (msm, window) pairs; carries, bucket assembly, the weighted reduce
+    and the doubling combine are batched across every block.  Returns a
+    batch-B device point."""
+    n = tables[0][0].shape[-1]
+    B = scalars_mont.shape[0]
+    precs = jnp.concatenate([_prep_rows(t) for t in tables], axis=0)
+    nlr = scalars_mont.shape[1]
+    flat_m = jnp.moveaxis(scalars_mont, 0, 1).reshape(nlr, B * n)
+    std = F.from_mont(flat_m, F.FR)[: params.FR_LIMBS]
+    digits = _scalars_to_signed_windows(std, c)        # (W, B*n)
+    W = digits.shape[0]
+    dig_blocks = digits.reshape(W, B, n).transpose(1, 0, 2).reshape(B * W, n)
+    bases = jnp.repeat(
+        jnp.asarray(np.array(pmap, np.int32) * (2 * n)), W)
+    nb = (1 << (c - 1)) + 1
+    nbp = -(-nb // 32) * 32
+    M = n // 32
+
+    def body(carry, xs):
+        dig, base = xs
+        return carry, _window_v2(precs, dig, c, ops, infinity, group,
+                                 base=base, n=n)
+
+    _, outs = jax.lax.scan(body, 0, (dig_blocks, bases))
+    collided_any = jnp.any(outs[7])
+
+    def good(_):
+        buckets = _assemble_buckets_batched(outs, B * W, nb, M, ops, group)
+        buckets = tuple(_pad_blocks(v, B * W, nb, nbp) for v in buckets)
+        totals, _ = _wreduce_batched(buckets, B * W, nbp, ops, group)
+        return _combine_windows(totals, c, W, ops, group, n_msm=B)
+
+    def safe(_):
+        nb_pad = -(-nb // 64) * 64 if nb >= 128 else nb
+
+        def sbody(carry, xs):
+            dig, base = xs
+            absd = jnp.abs(dig)
+            sign = dig < 0
+            g = precs[jnp.arange(n, dtype=jnp.int32)
+                      + jnp.where(sign, jnp.int32(n), jnp.int32(0))
+                      + base, :]
+            gt = g.T
+            R = gt.shape[0]
+            X, Y = gt[: R // 2], gt[R // 2:]
+            if group == "g2":
+                X = X.reshape(2, R // 4, n)
+                Y = Y.reshape(2, R // 4, n)
+            buckets = _bucket_sums(C.affine_to_jac((X, Y), ops), absd, nb,
+                                   ops, infinity)
+            ws = _weighted_bucket_reduce(
+                _pad_buckets(buckets, nb_pad, infinity), ops, infinity)
+            return carry, ws
+
+        _, wsums = jax.lax.scan(sbody, 0, (dig_blocks, bases))
+        stacked = tuple(jnp.moveaxis(v, 0, -1)[..., 0, :] for v in wsums)
+        return _combine_windows(stacked, c, W, ops, None, n_msm=B)
+
+    return jax.lax.cond(collided_any, safe, good, 0)
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_msm_many(group: str, c: int, pmap: tuple):
+    ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
+    infinity = C.infinity_g1 if group == "g1" else C.infinity_g2
+    return jax.jit(functools.partial(
+        _msm_many_fused_impl, pmap=pmap, c=c, ops=ops, infinity=infinity,
+        group=group))
+
+
+def msm_many_staged_device(tables, scalars_mont_list, pmap,
+                           group: str = "g1", c: int = None) -> C.Point:
+    """B MSMs against T shared affine tables, one program dispatch.
+    scalars_mont_list: list of (nl, n) MONTGOMERY scalar batches; returns
+    the batch-B device point (callers unpack once)."""
+    n = tables[0][0].shape[-1]
+    if c is None:
+        c = auto_window(n)
+    if not F._use_pallas() or n % 32 != 0 or n // 32 < 2:
+        # CPU / tiny fallback: one fused program per MSM, concatenated
+        singles = [
+            msm_staged_device(tables[pmap[j]], _to_std_cpu(s), group=group,
+                              c=c)
+            for j, s in enumerate(scalars_mont_list)]
+        return tuple(jnp.concatenate([p[i] for p in singles], axis=-1)
+                     for i in range(3))
+    S = jnp.stack(list(scalars_mont_list), axis=0)
+    return _jit_msm_many(group, c, tuple(pmap))(tuple(tables), S)
+
+
+@functools.lru_cache(maxsize=4)
+def _jit_to_std():
+    return jax.jit(
+        lambda s: F.from_mont(s, F.FR)[: params.FR_LIMBS])
+
+
+def _to_std_cpu(s_mont):
+    return _jit_to_std()(s_mont)
 
 
 @functools.lru_cache(maxsize=8)

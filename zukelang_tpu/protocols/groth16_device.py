@@ -262,13 +262,27 @@ def prove_device(crs: DeviceCRS, fc: flat_mod.FlatCircuit,
         fc.n_gates)(*args, witness_mont)
 
     n = crs.n
-    # dispatch ALL MSMs before any host sync; two fetches total (G1, G2)
-    A_d = _msm_device(crs.ti1, a_comb, "g1")
-    B_d = _msm_device(crs.ti2, b_comb, "g2")
-    B1_d = _msm_device(crs.ti1, b_comb, "g1")
-    H_d = _msm_device(crs.tiztd, h[:, : max(1, n - 1)], "g1")
-    C_d = _msm_device(crs.ltd_mid, witness_mont[:, crs.mids_idx], "g1")
-    A_sum, B1_sum, H_sum, Cmid = _unpack_many([A_d, B1_d, H_d, C_d], "g1")
+    npad = _np2(n)
+    c_w = DEFAULT_MSM_WINDOW
+
+    def fit_pts(p, group="g1"):
+        if p[0].shape[-1] > npad:
+            return tuple(x[..., :npad] for x in p)
+        return _pad_points(p, npad, group)
+
+    def fit_sc(s):
+        return _pad_scalars(s, npad)
+
+    # the whole G1 side (A, B1, H, C-mid) is ONE program dispatch: four
+    # MSMs against three shared tables, batched through every stage
+    g1_tables = (fit_pts(crs.ti1), fit_pts(crs.tiztd), fit_pts(crs.ltd_mid))
+    g1_scalars = [fit_sc(a_comb), fit_sc(b_comb),
+                  fit_sc(h[:, : max(1, n - 1)]),
+                  fit_sc(witness_mont[:, crs.mids_idx])]
+    G1_d = msm_mod.msm_many_staged_device(
+        g1_tables, g1_scalars, pmap=(0, 0, 1, 2), group="g1", c=c_w)
+    B_d = _msm_device(crs.ti2, b_comb, "g2", c=c_w)
+    A_sum, B1_sum, H_sum, Cmid = C.unpack_g1(G1_d)
     (B_sum,) = _unpack_many([B_d], "g2")
 
     a = crs.alpha_g1 + A_sum + crs.delta_g1 * r_sc

@@ -31,8 +31,10 @@ from ..golden.curve import G1, G2
 from ..golden.field import Fr
 from ..ops import curve_jax as C
 from ..ops import field_jax as F
+from ..ops import msm as msm_mod
 from .groth16_device import (_fixed_base_mont, _fixed_base_std, _msm_device,
-                             _pad_scalars, _to_affine, _unpack_many)
+                             _pad_points, _pad_scalars, _to_affine,
+                             _unpack_many)
 from .pinocchio import Proof, VKey
 
 
@@ -188,27 +190,37 @@ def prove_device(pkey: DevicePKey, fc: flat_mod.FlatCircuit,
 
     n = pkey.n
     c_mid = witness_mont[:, pkey.mids_idx]
-    # dispatch ALL MSMs before any host sync; two fetches total (G1, G2)
-    g1_jobs = [
-        _msm_device(pkey.vv, c_mid, "g1"),
-        _msm_device(pkey.yy, c_mid, "g1"),
-        _msm_device(pkey.si, h[:, : max(1, n - 1)], "g1"),
-        _msm_device(pkey.vav, c_mid, "g1"),
-        _msm_device(pkey.yay, c_mid, "g1"),
-        _msm_device(pkey.bvwy, c_mid, "g1"),
-    ]
-    g2_jobs = [
-        _msm_device(pkey.ww, c_mid, "g2"),
-        _msm_device(pkey.waw, c_mid, "g2"),
-    ]
-    if zk:
-        V = len(fc.vars_sorted)
-        c_all = witness_mont[:, :V]
-        g1_jobs.append(_msm_device(pkey.v_all, c_all, "g1"))
-        g1_jobs.append(_msm_device(pkey.w_all, c_all, "g1"))
+    V = len(fc.vars_sorted)
+    c_all = witness_mont[:, :V]
+    from .groth16_device import DEFAULT_MSM_WINDOW, _np2
+    npad = _np2(max(pkey.si[0].shape[-1], V, c_mid.shape[-1]))
 
-    g1_pts = _unpack_many(g1_jobs, "g1")
-    ww, waww = _unpack_many(g2_jobs, "g2")
+    def fit_pts(p, group="g1"):
+        return _pad_points(p, npad, group)
+
+    def fit_sc(s):
+        return _pad_scalars(s, npad)
+
+    # the whole G1 side (6 or 8 MSMs) is ONE program dispatch; ditto G2
+    g1_tables = [fit_pts(pkey.vv), fit_pts(pkey.yy), fit_pts(pkey.si),
+                 fit_pts(pkey.vav), fit_pts(pkey.yay), fit_pts(pkey.bvwy)]
+    g1_scalars = [fit_sc(c_mid), fit_sc(c_mid),
+                  fit_sc(h[:, : max(1, n - 1)]),
+                  fit_sc(c_mid), fit_sc(c_mid), fit_sc(c_mid)]
+    pmap = [0, 1, 2, 3, 4, 5]
+    if zk:
+        g1_tables += [fit_pts(pkey.v_all), fit_pts(pkey.w_all)]
+        g1_scalars += [fit_sc(c_all), fit_sc(c_all)]
+        pmap += [6, 7]
+    G1_d = msm_mod.msm_many_staged_device(
+        tuple(g1_tables), g1_scalars, pmap=tuple(pmap), group="g1",
+        c=DEFAULT_MSM_WINDOW)
+    G2_d = msm_mod.msm_many_staged_device(
+        (fit_pts(pkey.ww, "g2"), fit_pts(pkey.waw, "g2")),
+        [fit_sc(c_mid), fit_sc(c_mid)], pmap=(0, 1), group="g2",
+        c=DEFAULT_MSM_WINDOW)
+    g1_pts = C.unpack_g1(G1_d)
+    ww, waww = C.unpack_g2(G2_d)
     vv, yy, h_pt, vavv, yayy, bvwy = g1_pts[:6]
 
     if not zk:
