@@ -22,7 +22,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 from zukelang_tpu import jax_setup
 
-jax_setup.force_cpu(8)
+# ZUKELANG_TEST_TPU=1 keeps the real TPU backend so the compiled-Pallas
+# regression tests in test_pallas_tpu.py actually run; default is the
+# virtual 8-device CPU mesh.
+if os.environ.get("ZUKELANG_TEST_TPU", "") != "1":
+    jax_setup.force_cpu(8)
 
 import pytest
 

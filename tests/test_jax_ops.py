@@ -221,6 +221,21 @@ def test_fixed_base_small():
     assert C.unpack_g1(out) == [G1.generator() * Fr(s) for s in scs]
 
 
+def test_fixed_base_table_clean_cache_under_trace(tmp_path, monkeypatch):
+    """Round-2 regression (default tier): the production `_fixed_base_table`
+    wrapper must build on a CLEAN cache dir while an outer jit trace is
+    active — no persisted `.zk_cache` may mask a broken table-build path."""
+    monkeypatch.setenv("ZUKELANG_TABLE_CACHE", str(tmp_path))
+    msm._fixed_base_table.cache_clear()
+    try:
+        scs = [0, 1, 5, params.R - 1]
+        S = F.pack(scs, F.FR)
+        out = jax.jit(lambda s: msm.fixed_base_mul(s, "g1", c=4))(S)
+        assert C.unpack_g1(out) == [G1.generator() * Fr(s) for s in scs]
+    finally:
+        msm._fixed_base_table.cache_clear()
+
+
 def test_mont_mul_cios_variant():
     # the fori-loop CIOS fallback must agree with the default path
     spec = F.FQ

@@ -105,6 +105,27 @@ def test_staged_msm_fused_matches_golden():
         assert msm.msm_staged(Paff, S, group="g1", c=c) == expected
 
 
+def test_fixed_base_table_production_wrapper_clean_cache(tmp_path,
+                                                        monkeypatch):
+    """Round-2 regression: the PRODUCTION wrapper `_fixed_base_table` must
+    work on a clean cache dir while an outer jit trace is active — this is
+    the exact path bench keygen takes (first jitted fixed_base_mul call),
+    which crashed in round 2 with `Evaluation rule for 'program_id' not
+    implemented` because the Pallas scan was reached under
+    ensure_compile_time_eval.  No `.zk_cache` may mask this."""
+    monkeypatch.setenv("ZUKELANG_TABLE_CACHE", str(tmp_path))
+    msm._fixed_base_table.cache_clear()
+    try:
+        scs = [random.randrange(1, params.R) for _ in range(32)]
+        S = F.pack(scs, F.FR)
+        out = jax.jit(lambda s: msm.fixed_base_mul(s, "g1", c=4))(S)
+        got = C.unpack_g1(tuple(np.asarray(x) for x in out))
+        g = G1.generator()
+        assert got == [g * s for s in scs]
+    finally:
+        msm._fixed_base_table.cache_clear()
+
+
 def test_fixed_base_table_device_matches_golden():
     c = 4
     gen = G1.generator()

@@ -23,6 +23,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax._src import core as _jcore
 
 from .. import params
 from . import curve_jax as C
@@ -1078,9 +1079,13 @@ def _fixed_base_table(group: str, c: int) -> Tuple[np.ndarray, ...]:
     n_windows = (256 + c - 1) // c
     per = 1 << c
 
-    # May be reached while tracing (first jitted fixed_base_mul call):
-    # force eager evaluation so the table is a host constant.
-    with jax.ensure_compile_time_eval():
+    # May be reached while tracing (first jitted fixed_base_mul call).
+    # Escape to a FRESH eval context — not ensure_compile_time_eval, whose
+    # compile-time-eval trace has no rule for Pallas primitives
+    # (program_id), which zeroed the round-2 bench.  Under eval_context the
+    # inner jit compiles normally (Pallas included) and returns concrete
+    # host constants even when an outer trace is active.
+    with _jcore.eval_context():
         if F._use_pallas() and (n_windows * per) % 32 == 0:
             out = tuple(np.asarray(x)
                         for x in _fixed_base_table_device(group, c, gen))
