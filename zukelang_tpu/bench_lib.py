@@ -138,14 +138,24 @@ def bench_pinocchio(log_constraints: int, seed: int = 1, repeats: int = 3,
     }
 
 
-def bench_groth16(log_constraints: int, seed: int = 1, repeats: int = 3):
-    """Full keygen + prove + verify; returns timing dict."""
+def bench_groth16(log_constraints: int, seed: int = 1, repeats: int = 3,
+                  progress: dict = None):
+    """Full keygen + prove + verify; returns timing dict.
+
+    `progress` (optional dict) is updated IN PLACE as stages complete, so a
+    crashing run still reports how far it got and what each finished stage
+    cost — the bench driver uses this to distinguish "broken" from "slow".
+    """
     import jax
     from .protocols import groth16_device as gd
     from .rng import Gen
 
+    prog = progress if progress is not None else {}
+    t_all = time.time()
+
     inst = make_synthetic_r1cs(log_constraints, seed)
     fc = inst.fc
+    prog["build_r1cs_s"] = round(time.time() - t_all, 3)
 
     t0 = time.time()
     crs, vkey = gd.keygen_device(
@@ -155,12 +165,14 @@ def bench_groth16(log_constraints: int, seed: int = 1, repeats: int = 3):
     # tunnel; a device_get of a slice is the reliable barrier.
     jax.device_get(crs.ti1[0][..., :1])
     t_keygen = time.time() - t0
+    prog["keygen_s"] = round(t_keygen, 3)
 
     wm = inst.pack_witness()
     # warm-up (compilation)
     t0 = time.time()
     proof = gd.prove_device(crs, fc, wm, Gen(b"bench-prove"))
     t_first = time.time() - t0
+    prog["prove_first_s"] = round(t_first, 3)
 
     times = []
     for i in range(repeats):
@@ -168,11 +180,13 @@ def bench_groth16(log_constraints: int, seed: int = 1, repeats: int = 3):
         proof = gd.prove_device(crs, fc, wm, Gen(b"bench-prove-%d" % i))
         times.append(time.time() - t0)
     t_prove = min(times)
+    prog["prove_s"] = round(t_prove, 4)
 
     t0 = time.time()
     public = {int(c): Fr(inst.witness[c]) for c in inst.ios_cols}
     ok = gd.verify(public, vkey, proof)
     t_verify = time.time() - t0
+    prog["verify_s"] = round(t_verify, 3)
     assert ok, "benchmark proof failed to verify"
 
     n = 1 << log_constraints

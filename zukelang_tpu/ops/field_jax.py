@@ -234,7 +234,12 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
     if _use_pallas():
         from . import pallas_kernels
         return pallas_kernels.mont_mul_pallas(a, b, spec, interpret=False)
-    return mont_mul_conv(a, b, spec)
+    if MUL_IMPL == "conv" or jax.default_backend() in ("tpu", "axon"):
+        return mont_mul_conv(a, b, spec)
+    # XLA:CPU rewrites the feature_group_count=N grouped conv into a dense
+    # one — O(N^2) filter memory/compute (measured ~7000x slower than CIOS
+    # at N=1024, 100s of GB at N=8192).  CPU always takes the CIOS loop.
+    return mont_mul_cios(a, b, spec)
 
 
 def mont_mul_conv(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:

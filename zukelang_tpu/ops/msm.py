@@ -1086,7 +1086,10 @@ def _fixed_base_table(group: str, c: int) -> Tuple[np.ndarray, ...]:
     # inner jit compiles normally (Pallas included) and returns concrete
     # host constants even when an outer trace is active.
     with _jcore.eval_context():
-        if F._use_pallas() and (n_windows * per) % 32 == 0:
+        # The device build (jit + segmented scan) needs no Pallas: on CPU
+        # _seg_scan_auto falls back to the log-depth HS scan, still orders
+        # of magnitude faster than W * 2^c sequential golden adds.
+        if n_windows * per >= 64:
             out = tuple(np.asarray(x)
                         for x in _fixed_base_table_device(group, c, gen))
         else:

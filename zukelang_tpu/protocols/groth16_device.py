@@ -92,6 +92,11 @@ def _np2(n: int) -> int:
 # program too slowly at larger widths).
 DEFAULT_MSM_WINDOW = None
 
+# Fixed-base window width for keygen tables (2^c entries per window).  CPU
+# smoke tiers pin this to 4: the 2^8-entry G2 table build is minutes of
+# XLA:CPU point-adds, while on TPU the default 8 amortizes across keygens.
+DEFAULT_FB_WINDOW = 8
+
 
 def _msm_device(points: C.Point, scalars_mont: jnp.ndarray, group: str,
                 c: int = None) -> C.Point:
@@ -214,29 +219,30 @@ def _jit_scale(n: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_fixed_base_std(n: int, group: str):
+def _jit_fixed_base_std(n: int, group: str, c: int):
     def run(S_std):
-        return msm_mod.fixed_base_mul(S_std, group=group)
+        return msm_mod.fixed_base_mul(S_std, group=group, c=c)
     return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_fixed_base_mont(n: int, group: str):
+def _jit_fixed_base_mont(n: int, group: str, c: int):
     def run(S_mont):
         return msm_mod.fixed_base_mul(F.from_mont(S_mont, F.FR)[:params.FR_LIMBS],
-                                      group=group)
+                                      group=group, c=c)
     return jax.jit(run)
 
 
 def _fixed_base_std(scalars: List[int], group: str) -> C.Point:
     n = _np2(len(scalars))
     S = F.pack(scalars + [0] * (n - len(scalars)), F.FR)
-    return _jit_fixed_base_std(n, group)(S)
+    return _jit_fixed_base_std(n, group, DEFAULT_FB_WINDOW)(S)
 
 
 def _fixed_base_mont(scalars_mont: jnp.ndarray, group: str) -> C.Point:
     n = _np2(scalars_mont.shape[1])
-    return _jit_fixed_base_mont(n, group)(_pad_scalars(scalars_mont, n))
+    return _jit_fixed_base_mont(n, group, DEFAULT_FB_WINDOW)(
+        _pad_scalars(scalars_mont, n))
 
 
 @functools.lru_cache(maxsize=4)
