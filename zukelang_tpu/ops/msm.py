@@ -514,9 +514,13 @@ def _msm_impl(points, scalars_std: jnp.ndarray, c: int,
 
     _, wsums = jax.lax.scan(window_body, 0, digits)
     # wsums: tuple of arrays with leading window axis, batch 1
+    return _horner_windows(wsums, c, digits.shape[0], ops)
 
-    # Horner over windows, high to low: acc = 2^c * acc + W_w
-    n_windows = digits.shape[0]
+
+def _horner_windows(wsums: C.Point, c: int, n_windows: int,
+                    ops: C.FieldOps) -> C.Point:
+    """Combine per-window sums (leading window axis, low window first) via
+    Horner, high to low: acc = 2^c * acc + W_w."""
     acc = tuple(v[n_windows - 1] for v in wsums)
 
     def horner_body(i, acc):

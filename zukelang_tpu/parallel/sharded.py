@@ -46,8 +46,14 @@ def make_mesh(n_devices: int = None) -> Mesh:
 
 
 # ---------------------------------------------------------------------------
-# Data-parallel MSM
+# Data-parallel MSM (group-generic: G1 over Fq, G2 over Fq2)
 # ---------------------------------------------------------------------------
+
+def _group_tools(group: str):
+    if group == "g1":
+        return C.FQ_OPS, C.infinity_g1, C.unpack_g1
+    return C.FQ2_OPS, C.infinity_g2, C.unpack_g2
+
 
 def _fold_gathered(points: C.Point, ops: C.FieldOps) -> C.Point:
     """Fold a small batch (n_devices) of points into one with the group
@@ -55,20 +61,22 @@ def _fold_gathered(points: C.Point, ops: C.FieldOps) -> C.Point:
     return msm_mod._hs_total(points, ops)
 
 
-@functools.lru_cache(maxsize=16)
-def _jit_sharded_window(mesh: Mesh, c: int, ndim: int):
+@functools.lru_cache(maxsize=32)
+def _jit_sharded_window(mesh: Mesh, c: int, ndim: int, group: str = "g1"):
     """One Pippenger window with terms sharded across the mesh: each chip
     buckets+reduces its shard, partials are all_gather'ed and folded.
-    Cached per (mesh, window size) so repeat calls reuse the executable."""
+    Cached per (mesh, window size, group) so repeat calls reuse the
+    executable."""
+    ops, infinity, _ = _group_tools(group)
 
     def local(pts, dig):
         partial = msm_mod._weighted_bucket_reduce(
-            msm_mod._bucket_sums(pts, dig, 1 << c, C.FQ_OPS, C.infinity_g1),
-            C.FQ_OPS, C.infinity_g1)
+            msm_mod._bucket_sums(pts, dig, 1 << c, ops, infinity),
+            ops, infinity)
         gathered = tuple(
             jax.lax.all_gather(x, AXIS, axis=x.ndim - 1, tiled=True)
             for x in partial)
-        return _fold_gathered(gathered, C.FQ_OPS)
+        return _fold_gathered(gathered, ops)
 
     shard = P(*([None] * (ndim - 1) + [AXIS]))
     return jax.jit(jax.shard_map(
@@ -80,16 +88,63 @@ def _jit_sharded_window(mesh: Mesh, c: int, ndim: int):
 
 
 def sharded_msm_window(mesh: Mesh, points: C.Point, digits: jnp.ndarray,
-                       c: int = 8) -> C.Point:
-    return _jit_sharded_window(mesh, c, points[0].ndim)(points, digits)
+                       c: int = 8, group: str = "g1") -> C.Point:
+    return _jit_sharded_window(mesh, c, points[0].ndim, group)(points, digits)
 
 
-def sharded_msm_g1(mesh: Mesh, points: C.Point, scalars_std: jnp.ndarray,
-                   c: int = 8, max_windows: int = None):
-    """Full MSM with terms sharded across the mesh.  Host-staged over
-    windows (like ops.msm.msm_staged): one compiled sharded window program
-    dispatched asynchronously per window, device-side combine, one fetch.
-    Returns a golden G1.
+@functools.lru_cache(maxsize=32)
+def _jit_sharded_msm_all(mesh: Mesh, c: int, ndim: int, group: str,
+                         n_windows: int):
+    """The FULL Pippenger ladder as ONE shard_map program: each device
+    scans its term shard over every window (lax.scan body = bucket sums +
+    weighted reduce), a single all_gather collects the per-device window
+    partials, the device-axis fold and the Horner window combine run
+    replicated.  One dispatch / one collective per MSM — on XLA:CPU this
+    also avoids piling W async collectives onto the ~40 s rendezvous
+    deadline (per-window dispatch aborted under load)."""
+    ops, infinity, _ = _group_tools(group)
+
+    n_dev = mesh.devices.size
+
+    def local(pX, pY, pZ, digits):
+        pts = (pX, pY, pZ)
+
+        def body(carry, dig):
+            ws = msm_mod._weighted_bucket_reduce(
+                msm_mod._bucket_sums(pts, dig, 1 << c, ops, infinity),
+                ops, infinity)
+            return carry, ws
+
+        _, wsums = jax.lax.scan(body, 0, digits)
+        # (W, ..., 1) per-window partials -> batch-last (..., W)
+        ws2 = tuple(jnp.moveaxis(v[..., 0], 0, -1) for v in wsums)
+        # one collective: (D, ..., W), then window-major batch (..., W*D)
+        gath = tuple(jax.lax.all_gather(v, AXIS, axis=0, tiled=False)
+                     for v in ws2)
+        flat = tuple(
+            jnp.moveaxis(v, 0, -1).reshape(v.shape[1:-1]
+                                           + (n_windows * n_dev,))
+            for v in gath)
+        # fold the device axis per window (sorted segments), keep tails
+        seg = jnp.repeat(jnp.arange(n_windows, dtype=jnp.int32), n_dev)
+        sc = msm_mod._hs_segmented_scan(flat, seg, ops)
+        tails = tuple(v[..., n_dev - 1::n_dev] for v in sc)
+        return msm_mod._combine_windows(tails, c, n_windows, ops)
+
+    shard = P(*([None] * (ndim - 1) + [AXIS]))
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(shard, shard, shard, P(None, AXIS)),
+        out_specs=(P(*([None] * ndim)),) * 3,
+        check_vma=False,
+    ))
+
+
+def sharded_msm_device(mesh: Mesh, points: C.Point, scalars_std: jnp.ndarray,
+                       group: str = "g1", c: int = 8,
+                       max_windows: int = None) -> C.Point:
+    """Full MSM with terms sharded across the mesh; result stays on device
+    as a batch-1 Jacobian point (replicated).
 
     `max_windows` truncates to the low windows — only for dryruns/smoke
     tests on hosts too slow for the full ladder (result is then the MSM of
@@ -98,13 +153,59 @@ def sharded_msm_g1(mesh: Mesh, points: C.Point, scalars_std: jnp.ndarray,
     n_windows = digits.shape[0]
     if max_windows is not None:
         n_windows = min(n_windows, max_windows)
-    dev_results = [sharded_msm_window(mesh, points, digits[w], c=c)
-                   for w in range(n_windows)]
-    stacked = tuple(
-        jnp.concatenate([r[i] for r in dev_results], axis=-1)
-        for i in range(3))
-    final = msm_mod._jit_window_combine("g1", c, n_windows)(stacked)
-    return C.unpack_g1(final)[0]
+        digits = digits[:n_windows]
+    jac = points if len(points) == 3 else _jit_affine_to_jac(group)(points)
+    return _jit_sharded_msm_all(mesh, c, jac[0].ndim, group, n_windows)(
+        *jac, digits)
+
+
+def sharded_msm(mesh: Mesh, points: C.Point, scalars_std: jnp.ndarray,
+                group: str = "g1", c: int = 8, max_windows: int = None):
+    """sharded_msm_device + one host fetch -> golden G1/G2."""
+    final = sharded_msm_device(mesh, points, scalars_std, group, c,
+                               max_windows)
+    _, _, unpack = _group_tools(group)
+    return unpack(final)[0]
+
+
+def sharded_msm_g1(mesh: Mesh, points: C.Point, scalars_std: jnp.ndarray,
+                   c: int = 8, max_windows: int = None):
+    return sharded_msm(mesh, points, scalars_std, "g1", c, max_windows)
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_affine_to_jac(group: str):
+    ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
+    return jax.jit(functools.partial(C.affine_to_jac, ops=ops))
+
+
+# ---------------------------------------------------------------------------
+# Sharded fixed-base batches (keygen workhorse; embarrassingly parallel:
+# scalars sharded over the mesh, window table replicated, no collectives)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _jit_sharded_fixed_base(mesh: Mesh, group: str, c: int):
+    ndim = 2 if group == "g1" else 3
+
+    def local(S_std):
+        return msm_mod.fixed_base_mul(S_std, group=group, c=c)
+
+    out_shard = P(*([None] * ndim + [AXIS]))
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, AXIS),),
+        out_specs=(out_shard,) * 3,
+        check_vma=False,
+    ))
+
+
+def sharded_fixed_base(mesh: Mesh, scalars_std: jnp.ndarray,
+                       group: str = "g1", c: int = 8) -> C.Point:
+    """[g * s for s in scalars] with the scalar batch sharded over the
+    mesh.  Output points stay sharded along the batch axis — exactly the
+    layout the term-sharded MSM consumes."""
+    return _jit_sharded_fixed_base(mesh, group, c)(scalars_std)
 
 
 # ---------------------------------------------------------------------------
@@ -226,3 +327,207 @@ def sharded_prove_step(mesh: Mesh, fc_args, witness: jnp.ndarray,
 
     a_std = to_std(a_coeff)
     return sharded_msm_g1(mesh, ti1, a_std, c=4, max_windows=max_windows)
+
+
+# ---------------------------------------------------------------------------
+# Fully sharded witness reduction (prove-side QAP algebra on the mesh)
+# ---------------------------------------------------------------------------
+
+def _split_logs(logn: int, n_dev: int) -> Tuple[int, int]:
+    """N = N1*N2 split for the four-step NTT with both factors divisible
+    by the mesh size."""
+    log_d = max(1, (n_dev - 1).bit_length())
+    log2_ = max(log_d, logn // 2)
+    log1_ = logn - log2_
+    assert log1_ >= log_d, (
+        f"domain 2^{logn} too small for a {n_dev}-device four-step NTT")
+    return log1_, log2_
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_pointwise_h(logn: int):
+    """Coset pointwise stage: p = a*b - c, h = p * Zinv (constant on the
+    coset).  Runs as a plain jitted program over the (sharded) global
+    arrays; XLA/GSPMD keeps it elementwise-local."""
+    zinv = ntt_mod.zh_on_coset_inv(logn)
+    n = 1 << logn
+
+    def run(a_cos, b_cos, c_cos):
+        p = F.sub(F.mont_mul(a_cos, b_cos, F.FR), c_cos, F.FR)
+        return F.mont_mul(p, F.const_mont(zinv, n, F.FR), F.FR)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_coset_scale(logn: int, inverse: bool):
+    def run(x):
+        g = jnp.asarray(ntt_mod._coset_powers_host(logn, inverse))
+        return F.mont_mul(x, g, F.FR)
+    return jax.jit(run)
+
+
+def sharded_witness_reduction(mesh: Mesh, fc, witness_mont: jnp.ndarray):
+    """engine.jax_engine.witness_reduction_fn distributed over the mesh:
+    gate-sharded affine evaluation, four-step all_to_all iNTTs, pointwise
+    coset quotient, inverse coset NTT.  Returns (a, b, h) Montgomery
+    coefficient arrays in natural order (flattened four-step layout IS
+    natural order: out[k2, k1] holds X[N1*k2 + k1])."""
+    n = fc.domain_size
+    logn = fc.logn
+    nl = params.FR_LIMBS
+    log1_, log2_ = _split_logs(logn, mesh.devices.size)
+
+    @jax.jit
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, n - x.shape[1])))
+
+    def reshape12(x):
+        return x.reshape(nl, 1 << log1_, 1 << log2_)
+
+    sides = []
+    for side in (fc.l, fc.r, fc.lhs):
+        ev = sharded_gate_eval(mesh, jnp.asarray(side.idx),
+                               jnp.asarray(side.coef), witness_mont)
+        coeff = sharded_ntt(mesh, reshape12(pad(ev)), log1_, log2_,
+                            inverse=True).reshape(nl, n)
+        sides.append(coeff)
+    a, b, cc = sides
+
+    def coset_fwd(x):
+        scaled = _jit_coset_scale(logn, False)(x)
+        return sharded_ntt(mesh, reshape12(scaled), log1_, log2_,
+                           inverse=False).reshape(nl, n)
+
+    a_cos = coset_fwd(a)
+    b_cos = coset_fwd(b)
+    c_cos = coset_fwd(cc)
+    h_cos = _jit_pointwise_h(logn)(a_cos, b_cos, c_cos)
+    h = _jit_coset_scale(logn, True)(
+        sharded_ntt(mesh, reshape12(h_cos), log1_, log2_,
+                    inverse=True).reshape(nl, n))
+    return a, b, h
+
+
+# ---------------------------------------------------------------------------
+# Fully sharded Groth16 / Pinocchio proves
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _jit_to_std():
+    return jax.jit(lambda x: F.from_mont(x, F.FR)[: params.FR_LIMBS])
+
+
+def _fit(points, scalars_mont: jnp.ndarray, npad: int, group: str):
+    """Truncate/pad a (table, scalar) pair to a common power-of-two width
+    and convert scalars to standard form (mirrors groth16_device fit_*)."""
+    from ..protocols.groth16_device import _pad_points, _pad_scalars
+    P_ = (tuple(x[..., :npad] for x in points)
+          if points[0].shape[-1] > npad else _pad_points(points, npad, group))
+    S = _jit_to_std()(_pad_scalars(scalars_mont, npad))
+    return P_, S
+
+
+def sharded_groth16_prove(mesh: Mesh, crs, fc, witness_mont: jnp.ndarray,
+                          rng, c: int = 4):
+    """Full Groth16 prove on the mesh (groth16.ml:123-161 semantics):
+    gate-sharded witness reduction, then ALL five G1 MSMs + the G2 MSM
+    term-sharded with all_gather reduction.  Byte-identical to
+    protocols.groth16_device.prove_device under the same injected rng
+    (same scalar draw order r, s; groth16.ml:124-125)."""
+    from ..protocols.groth16 import Proof
+    from ..protocols.groth16_device import _np2
+
+    r_sc = rng.fr()
+    s_sc = rng.fr()
+
+    a_comb, b_comb, h = sharded_witness_reduction(mesh, fc, witness_mont)
+
+    n = crs.n
+    npad = _np2(n)
+    ti1, a_std = _fit(crs.ti1, a_comb, npad, "g1")
+    _, b_std = _fit(crs.ti1, b_comb, npad, "g1")
+    tiztd, h_std = _fit(crs.tiztd, h[:, : max(1, n - 1)], npad, "g1")
+    ltd_mid, mid_std = _fit(crs.ltd_mid, witness_mont[:, crs.mids_idx],
+                            npad, "g1")
+    ti2, _ = _fit(crs.ti2, b_comb, npad, "g2")
+
+    A_sum = sharded_msm(mesh, ti1, a_std, "g1", c=c)
+    B1_sum = sharded_msm(mesh, ti1, b_std, "g1", c=c)
+    H_sum = sharded_msm(mesh, tiztd, h_std, "g1", c=c)
+    Cmid = sharded_msm(mesh, ltd_mid, mid_std, "g1", c=c)
+    B_sum = sharded_msm(mesh, ti2, b_std, "g2", c=c)
+
+    a = crs.alpha_g1 + A_sum + crs.delta_g1 * r_sc
+    b = crs.beta_g2 + B_sum + crs.delta_g2 * s_sc
+    b1 = crs.beta_g1 + B1_sum + crs.delta_g1 * s_sc
+    cpt = (Cmid + H_sum + a * s_sc + b1 * r_sc
+           - crs.delta_g1 * (r_sc * s_sc))
+    return Proof(a=a, b=b, c=cpt)
+
+
+def sharded_pinocchio_prove(mesh: Mesh, pkey, fc, witness_mont: jnp.ndarray,
+                            rng, zk: bool = True, c: int = 4):
+    """Full Pinocchio prove on the mesh (pinocchio.ml:193-250 NonZK,
+    :423-515 ZK): 8 term-sharded MSMs (6 G1 + 2 G2) + the h apply_powers,
+    ZK adds the 2 all-variable G1 MSMs.  Byte-identical to
+    protocols.pinocchio_device.prove_device under the same injected rng."""
+    import numpy as np
+    from ..golden.curve import G1
+    from ..protocols.pinocchio import Proof
+    from ..protocols.groth16_device import _np2
+
+    _a, _b, h = sharded_witness_reduction(mesh, fc, witness_mont)
+
+    n = pkey.n
+    c_mid = witness_mont[:, pkey.mids_idx]
+    V = len(fc.vars_sorted)
+    c_all = witness_mont[:, :V]
+    npad = _np2(max(pkey.si[0].shape[-1], V, c_mid.shape[-1]))
+
+    vv_t, mid_std = _fit(pkey.vv, c_mid, npad, "g1")
+    yy_t, _ = _fit(pkey.yy, c_mid, npad, "g1")
+    si_t, h_std = _fit(pkey.si, h[:, : max(1, n - 1)], npad, "g1")
+    vav_t, _ = _fit(pkey.vav, c_mid, npad, "g1")
+    yay_t, _ = _fit(pkey.yay, c_mid, npad, "g1")
+    bvwy_t, _ = _fit(pkey.bvwy, c_mid, npad, "g1")
+    ww_t, _ = _fit(pkey.ww, c_mid, npad, "g2")
+    waw_t, _ = _fit(pkey.waw, c_mid, npad, "g2")
+
+    vv = sharded_msm(mesh, vv_t, mid_std, "g1", c=c)
+    yy = sharded_msm(mesh, yy_t, mid_std, "g1", c=c)
+    h_pt = sharded_msm(mesh, si_t, h_std, "g1", c=c)
+    vavv = sharded_msm(mesh, vav_t, mid_std, "g1", c=c)
+    yayy = sharded_msm(mesh, yay_t, mid_std, "g1", c=c)
+    bvwy = sharded_msm(mesh, bvwy_t, mid_std, "g1", c=c)
+    ww = sharded_msm(mesh, ww_t, mid_std, "g2", c=c)
+    waww = sharded_msm(mesh, waw_t, mid_std, "g2", c=c)
+
+    if not zk:
+        return Proof(vv=vv, ww=ww, yy=yy, h=h_pt,
+                     vavv=vavv, waww=waww, yayy=yayy, bvwy=bvwy)
+
+    dv = rng.fr()
+    dw = rng.fr()
+    dy = rng.fr()
+    va_t, all_std = _fit(pkey.v_all, c_all, npad, "g1")
+    wa_t, _ = _fit(pkey.w_all, c_all, npad, "g1")
+    v_all = sharded_msm(mesh, va_t, all_std, "g1", c=c)
+    w_all = sharded_msm(mesh, wa_t, all_std, "g1", c=c)
+
+    ends = C.unpack_g1(_jit_affine_to_jac("g1")(
+        tuple(x[..., np.array([0, n])] for x in pkey.si)))
+    t_g1 = ends[1] - ends[0]
+
+    h2 = (h_pt + v_all * dw + w_all * dv + t_g1 * (dv * dw)
+          - G1.generator() * dy)
+    return Proof(
+        vv=vv + pkey.vt * dv,
+        ww=ww + pkey.wt * dw,
+        yy=yy + pkey.yt * dy,
+        h=h2,
+        vavv=vavv + pkey.vavt * dv,
+        waww=waww + pkey.wawt * dw,
+        yayy=yayy + pkey.yayt * dy,
+        bvwy=bvwy + pkey.vbt * dv + pkey.wbt * dw + pkey.ybt * dy,
+    )
