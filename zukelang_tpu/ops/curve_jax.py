@@ -110,7 +110,40 @@ def _mul_many(ops: FieldOps, xs, ys):
     return [r[..., i * n:(i + 1) * n] for i in range(len(xs))]
 
 
+# Composed point formulas are 10^3..10^5 traced primitives each (limb
+# loops unroll; the Pallas kernels they dispatch re-trace per call site).
+# Routing the public entry points through per-(kind, field) jitted
+# wrappers puts each formula's jaxpr behind the pjit trace cache: traced
+# once per shape process-wide instead of at every call site of every
+# enclosing trace.  XLA inlines the called computation — compiled code is
+# unchanged; only tracing cost collapses.
+_POINT_JITS = {}
+
+
+def _point_jit(kind: str, ops: FieldOps):
+    key = (kind, id(ops))
+    f = _POINT_JITS.get(key)
+    if f is None:
+        impl = {"add": _point_add_impl, "double": _point_double_impl,
+                "madd": _point_madd_impl}[kind]
+        f = jax.jit(functools.partial(impl, ops=ops))
+        _POINT_JITS[key] = f
+    return f
+
+
 def point_double(p: Point, ops: FieldOps) -> Point:
+    return _point_jit("double", ops)(p)
+
+
+def point_add(p: Point, q: Point, ops: FieldOps) -> Point:
+    return _point_jit("add", ops)(p, q)
+
+
+def point_madd(p: Point, q: AffinePoint, ops: FieldOps) -> Point:
+    return _point_jit("madd", ops)(p, q)
+
+
+def _point_double_impl(p: Point, ops: FieldOps) -> Point:
     """dbl-2009-l for a = 0; Y == 0 or Z == 0 correctly yields Z3 == 0.
     4 batched multiply rounds (or one fused Pallas kernel on TPU for G1)."""
     if F._use_pallas():
@@ -136,7 +169,7 @@ def point_double(p: Point, ops: FieldOps) -> Point:
     return X3, Y3, Z3
 
 
-def point_add(p: Point, q: Point, ops: FieldOps) -> Point:
+def _point_add_impl(p: Point, q: Point, ops: FieldOps) -> Point:
     """add-2007-bl with full special-case selection; 7 batched multiply
     rounds (+4 in the shared doubling path for the degenerate case), or
     one fused Pallas kernel on TPU for G1."""
@@ -206,7 +239,7 @@ def affine_to_jac(q: AffinePoint, ops: FieldOps) -> Point:
     return X2, Y2, Z
 
 
-def point_madd(p: Point, q: AffinePoint, ops: FieldOps) -> Point:
+def _point_madd_impl(p: Point, q: AffinePoint, ops: FieldOps) -> Point:
     """Mixed add: p Jacobian + q affine ((0,0) = infinity) — 11 field muls
     vs point_add's 24 (incl. its fused doubling path).
 

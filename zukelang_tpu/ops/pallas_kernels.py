@@ -10,6 +10,14 @@ result once (~3x less HBM traffic at large N).
 Functionally identical to field_jax.mont_mul (differentially tested);
 selected via field_jax-compatible wrappers below.  Runs under
 interpret=True on CPU for tests.
+
+Every lru-cached call builder returns jax.jit(pl.pallas_call(...)): the
+kernel bodies unroll their limb loops, so one kernel trace is 10^4..10^6
+primitives, and a bare pallas_call re-traces the kernel at EVERY call
+site of every enclosing trace.  The jit wrapper puts the kernel jaxpr
+behind the pjit trace cache — traced once per shape process-wide
+(measured: fixed-base table build tracing went from ~740 s to seconds).
+XLA inlines the called computation, so compiled code is unchanged.
 """
 
 from __future__ import annotations
@@ -174,7 +182,7 @@ def _mont_mul_call(nl: int, n: int, block: int, interpret: bool):
         _mont_mul_kernel, nl=nl, p_limbs=tuple(int(x) for x in spec.p_limbs),
         nprime=spec.nprime)
     grid = (n // block,)
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nl, n), jnp.uint32),
         grid=grid,
@@ -187,7 +195,7 @@ def _mont_mul_call(nl: int, n: int, block: int, interpret: bool):
         out_specs=pl.BlockSpec((nl, block), lambda i: (0, i),
                                memory_space=pltpu.ANY if interpret else pltpu.VMEM),
         interpret=interpret,
-    )
+    ))
 
 
 def mont_mul_pallas(a: jnp.ndarray, b: jnp.ndarray, spec: F.FieldSpec,
@@ -320,7 +328,7 @@ def _point_call(kind: str, n: int, block: int, interpret: bool):
         **common)
     bs = pl.BlockSpec((nl, block), lambda i: (0, i),
                       memory_space=pltpu.ANY if interpret else pltpu.VMEM)
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         kernel,
         out_shape=tuple(jax.ShapeDtypeStruct((nl, n), jnp.uint32)
                         for _ in range(3)),
@@ -328,7 +336,7 @@ def _point_call(kind: str, n: int, block: int, interpret: bool):
         in_specs=[bs] * n_in,
         out_specs=(bs,) * 3,
         interpret=interpret,
-    )
+    ))
 
 
 def _pad_to(x, npad):
@@ -498,7 +506,7 @@ def _point_call2(kind: str, n: int, block: int, interpret: bool):
         **common)
     bs = pl.BlockSpec((2 * nl, block), lambda i: (0, i),
                       memory_space=pltpu.ANY if interpret else pltpu.VMEM)
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         kernel,
         out_shape=tuple(jax.ShapeDtypeStruct((2 * nl, n), jnp.uint32)
                         for _ in range(3)),
@@ -506,7 +514,7 @@ def _point_call2(kind: str, n: int, block: int, interpret: bool):
         in_specs=[bs] * n_in,
         out_specs=(bs,) * 3,
         interpret=interpret,
-    )
+    ))
 
 
 def _flat2(x):
@@ -640,7 +648,7 @@ def _madd_call(group: str, n: int, block: int, interpret: bool):
                       memory_space=pltpu.ANY if interpret else pltpu.VMEM)
     bs_mask = pl.BlockSpec((8, block), lambda i: (0, i),
                            memory_space=pltpu.ANY if interpret else pltpu.VMEM)
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         kernel,
         out_shape=tuple(jax.ShapeDtypeStruct((rows, n), jnp.uint32)
                         for _ in range(3))
@@ -649,7 +657,7 @@ def _madd_call(group: str, n: int, block: int, interpret: bool):
         in_specs=[bs] * 5,
         out_specs=(bs, bs, bs, bs_mask),
         interpret=interpret,
-    )
+    ))
 
 
 def point_madd_pallas(p, q_aff, block: int = 256, interpret: bool = None):
@@ -783,7 +791,7 @@ def _seg_scan_call(group: str, K: int, m: int, block: int, interpret: bool):
                           memory_space=pl.ANY if interpret else pltpu.VMEM)
     bs_fl = pl.BlockSpec((8, block), lambda i, t: (0, i),
                          memory_space=pl.ANY if interpret else pltpu.VMEM)
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         kernel,
         out_shape=tuple(jax.ShapeDtypeStruct((K, rows, m), jnp.uint32)
                         for _ in range(3))
@@ -793,7 +801,7 @@ def _seg_scan_call(group: str, K: int, m: int, block: int, interpret: bool):
         out_specs=(bs3, bs3, bs3, bs_fl),
         scratch_shapes=[pltpu.VMEM((3 * rows + 1, block), jnp.uint32)],
         interpret=interpret,
-    )
+    ))
 
 
 def bucket_scan_pallas(pts_sorted, seg_sorted, K: int, group: str = "g1",
@@ -963,7 +971,7 @@ def _jac_scan_call(group: str, K: int, m: int, block: int, interpret: bool,
                        memory_space=pl.ANY if interpret else pltpu.VMEM)
     bs_seg = pl.BlockSpec((1, 1, block), lambda i, t: (t, 0, i),
                           memory_space=pl.ANY if interpret else pltpu.VMEM)
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         kernel,
         out_shape=tuple(jax.ShapeDtypeStruct((K, rows, m), jnp.uint32)
                         for _ in range(3)),
@@ -972,7 +980,7 @@ def _jac_scan_call(group: str, K: int, m: int, block: int, interpret: bool,
         out_specs=(bs3, bs3, bs3),
         scratch_shapes=[pltpu.VMEM((3 * rows, block), jnp.uint32)],
         interpret=interpret,
-    )
+    ))
 
 
 def jac_scan_pallas(points, K: int, group: str = "g1",
@@ -1102,7 +1110,7 @@ def _bitonic_call(logn: int, log_chunk: int, phase_s, interpret: bool):
                                phase_s=phase_s)
     bs = pl.BlockSpec((rows_chunk, 128), lambda i: (i, 0),
                       memory_space=pl.ANY if interpret else pltpu.VMEM)
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         kernel,
         out_shape=tuple(jax.ShapeDtypeStruct((rows_total, 128), jnp.int32)
                         for _ in range(2)),
@@ -1111,7 +1119,7 @@ def _bitonic_call(logn: int, log_chunk: int, phase_s, interpret: bool):
         out_specs=(bs, bs),
         input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
-    )
+    ))
 
 
 def _bitonic_cross_pass(k, v, s, d, n):
@@ -1260,7 +1268,7 @@ def _seg_scan2_call(group: str, K: int, m: int, block: int, interpret: bool):
                           memory_space=pl.ANY if interpret else pltpu.VMEM)
     bs_fl = pl.BlockSpec((8, block), lambda i, t: (0, i),
                          memory_space=pl.ANY if interpret else pltpu.VMEM)
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         kernel,
         out_shape=tuple(jax.ShapeDtypeStruct((K, rows, m), jnp.uint32)
                         for _ in range(3))
@@ -1270,7 +1278,7 @@ def _seg_scan2_call(group: str, K: int, m: int, block: int, interpret: bool):
         out_specs=(bs3, bs3, bs3, bs_fl),
         scratch_shapes=[pltpu.VMEM((3 * rows + 1, block), jnp.uint32)],
         interpret=interpret,
-    )
+    ))
 
 
 def bucket_scan_rows(pts3: jnp.ndarray, seg3: jnp.ndarray,
@@ -1418,7 +1426,7 @@ def _wsum_call(group: str, K: int, m: int, block: int, interpret: bool):
                          memory_space=pl.ANY if interpret else pltpu.VMEM)
     bs_out = pl.BlockSpec((1, 3 * rows, block), lambda i, t: (0, 0, i),
                           memory_space=pl.ANY if interpret else pltpu.VMEM)
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         kernel,
         out_shape=tuple(jax.ShapeDtypeStruct((1, 3 * rows, m), jnp.uint32)
                         for _ in range(2)),
@@ -1427,7 +1435,7 @@ def _wsum_call(group: str, K: int, m: int, block: int, interpret: bool):
         out_specs=(bs_out, bs_out),
         scratch_shapes=[pltpu.VMEM((6 * rows, block), jnp.uint32)],
         interpret=interpret,
-    )
+    ))
 
 
 def weighted_chunk_sums(points, K: int, group: str = "g1",
