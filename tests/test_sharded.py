@@ -66,6 +66,40 @@ def test_sharded_msm(mesh):
     assert got == G1.dot(pts, [Fr(s) for s in scs])
 
 
+PROOF_FIELDS = ("vv", "ww", "yy", "h", "vavv", "waww", "yayy", "bvwy")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("zk", [False, True])
+def test_sharded_pinocchio_prove(mesh, zk):
+    """sharded_pinocchio_prove == single-device pinocchio_device proof
+    byte-for-byte under the same injected randomness, and verifies."""
+    from zukelang_tpu import bench_lib
+    from zukelang_tpu.protocols import groth16_device as gd
+    from zukelang_tpu.protocols import pinocchio_device as pd
+    from zukelang_tpu.rng import Gen
+
+    old = gd.DEFAULT_MSM_WINDOW, gd.DEFAULT_FB_WINDOW
+    gd.DEFAULT_MSM_WINDOW = 4
+    gd.DEFAULT_FB_WINDOW = 4
+    try:
+        inst = bench_lib.make_synthetic_r1cs(6, seed=9)
+        fc = inst.fc
+        wm = inst.pack_witness()
+        pkey, vkey = pd.keygen_device(
+            fc, mids=list(inst.mids_cols), ios=list(inst.ios_cols),
+            rng=Gen(b"t-pin-keygen"))
+        proof_sh = sharded.sharded_pinocchio_prove(
+            mesh, pkey, fc, wm, Gen(b"t-pin-prove"), zk=zk, c=4)
+        proof_dev = pd.prove_device(pkey, fc, wm, Gen(b"t-pin-prove"), zk=zk)
+        for f in PROOF_FIELDS:
+            assert getattr(proof_sh, f) == getattr(proof_dev, f), f
+        public = {int(c): Fr(inst.witness[c]) for c in inst.ios_cols}
+        assert pd.verify(public, vkey, proof_sh)
+    finally:
+        gd.DEFAULT_MSM_WINDOW, gd.DEFAULT_FB_WINDOW = old
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_entry():
     import sys

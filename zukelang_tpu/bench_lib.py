@@ -87,15 +87,18 @@ def make_synthetic_r1cs(log_constraints: int, seed: int = 1) -> SyntheticR1CS:
 
 
 def bench_pinocchio(log_constraints: int, seed: int = 1, repeats: int = 3,
-                    zk: bool = True):
+                    zk: bool = True, progress: dict = None):
     """Pinocchio device pipeline on the synthetic R1CS: keygen + the 8-MSM
     prove (10 MSMs with ZK) + 9-pairing verify."""
     import jax
     from .protocols import pinocchio_device as pd
     from .rng import Gen
 
+    prog = progress if progress is not None else {}
+    t_all = time.time()
     inst = make_synthetic_r1cs(log_constraints, seed)
     fc = inst.fc
+    prog["build_r1cs_s"] = round(time.time() - t_all, 3)
 
     t0 = time.time()
     pk, vk = pd.keygen_device(
@@ -103,11 +106,13 @@ def bench_pinocchio(log_constraints: int, seed: int = 1, repeats: int = 3,
         rng=Gen(b"bench-pin-keygen"))
     jax.device_get(pk.vv[0][..., :1])
     t_keygen = time.time() - t0
+    prog["keygen_s"] = round(t_keygen, 3)
 
     wm = inst.pack_witness()
     t0 = time.time()
     proof = pd.prove_device(pk, fc, wm, Gen(b"bench-pin-prove"), zk=zk)
     t_first = time.time() - t0
+    prog["prove_first_s"] = round(t_first, 3)
 
     times = []
     for i in range(repeats):
@@ -115,11 +120,13 @@ def bench_pinocchio(log_constraints: int, seed: int = 1, repeats: int = 3,
         proof = pd.prove_device(pk, fc, wm, Gen(b"bench-pin-%d" % i), zk=zk)
         times.append(time.time() - t0)
     t_prove = min(times)
+    prog["prove_s"] = round(t_prove, 4)
 
     t0 = time.time()
     public = {int(c): Fr(inst.witness[c]) for c in inst.ios_cols}
     ok = pd.verify(public, vk, proof)
     t_verify = time.time() - t0
+    prog["verify_s"] = round(t_verify, 3)
     assert ok, "benchmark proof failed to verify"
 
     n = 1 << log_constraints

@@ -209,8 +209,9 @@ def _to8_host(x: int, m: int) -> np.ndarray:
 
 # Selectable multiply backend: "pallas" (fused VMEM kernel — 100x faster
 # than the conv lowering on real TPUs: 370 vs 3.8 Mmul/s for Fq at 2^20),
-# "conv" (grouped-conv HLOs; the only practical choice on CPU where Pallas
-# would run interpreted), or "auto" (pallas on TPU, conv elsewhere).
+# "conv" (grouped-conv HLOs; TPU-only fallback — XLA:CPU rewrites the
+# grouped conv into a dense O(N^2) one), "cios" (deferred-carry CIOS
+# loop — the CPU default), or "auto" (pallas on TPU, cios elsewhere).
 import os as _os
 
 MUL_IMPL = _os.environ.get("ZUKELANG_MUL_IMPL", "auto")
@@ -218,14 +219,14 @@ MUL_IMPL = _os.environ.get("ZUKELANG_MUL_IMPL", "auto")
 
 def set_mul_impl(name: str):
     global MUL_IMPL
-    assert name in ("auto", "conv", "pallas")
+    assert name in ("auto", "conv", "pallas", "cios")
     MUL_IMPL = name
 
 
 def _use_pallas() -> bool:
     if MUL_IMPL == "pallas":
         return True
-    if MUL_IMPL == "conv":
+    if MUL_IMPL in ("conv", "cios"):
         return False
     return jax.default_backend() in ("tpu", "axon")
 
@@ -234,7 +235,8 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
     if _use_pallas():
         from . import pallas_kernels
         return pallas_kernels.mont_mul_pallas(a, b, spec, interpret=False)
-    if MUL_IMPL == "conv" or jax.default_backend() in ("tpu", "axon"):
+    if MUL_IMPL == "conv" or (
+            MUL_IMPL != "cios" and jax.default_backend() in ("tpu", "axon")):
         return mont_mul_conv(a, b, spec)
     # XLA:CPU rewrites the feature_group_count=N grouped conv into a dense
     # one — O(N^2) filter memory/compute (measured ~7000x slower than CIOS

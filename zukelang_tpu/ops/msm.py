@@ -23,7 +23,19 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax._src import core as _jcore
+
+# Private-API shim, pinned against the jax 0.9.x layout: eval_context is
+# the only way to escape an active trace so the fixed-base table build
+# returns concrete host constants (ensure_compile_time_eval has no rule
+# for Pallas primitives — the round-2 bench regression).  An upgrade that
+# moves it must fail HERE, at import, not at first cold-cache keygen.
+try:
+    from jax._src.core import eval_context as _eval_context
+except ImportError as _e:  # pragma: no cover
+    raise ImportError(
+        "jax._src.core.eval_context moved in this jax version (shim was "
+        "written against jax 0.9.0); update zukelang_tpu.ops.msm to the "
+        "new escape hatch before running") from _e
 
 from .. import params
 from . import curve_jax as C
@@ -1089,7 +1101,7 @@ def _fixed_base_table(group: str, c: int) -> Tuple[np.ndarray, ...]:
     # (program_id), which zeroed the round-2 bench.  Under eval_context the
     # inner jit compiles normally (Pallas included) and returns concrete
     # host constants even when an outer trace is active.
-    with _jcore.eval_context():
+    with _eval_context():
         # The device build (jit + segmented scan) needs no Pallas: on CPU
         # _seg_scan_auto falls back to the log-depth HS scan, still orders
         # of magnitude faster than W * 2^c sequential golden adds.
