@@ -146,3 +146,44 @@ def test_fixed_base_table_device_matches_golden():
             idx += 1
         for _ in range(c):
             base = base.double()
+
+
+def _fixed_base_rows_case(group, n_scalars=125):
+    """Drive _fixed_base_rows (the row-gather + bucket-scan fixed-base
+    path, the TPU keygen workhorse) against golden scalar mults."""
+    scs = ([0, 1, 2, params.R - 1]
+           + [random.randrange(params.R) for _ in range(n_scalars)])
+    S = F.pack(scs, F.FR)
+    c = 8
+    tX, tY, tZ = (jnp.asarray(x) for x in msm._fixed_base_table(group, c))
+    ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
+    tinf = ops.is_zero(tZ)
+    tY = ops.select(tinf, ops.zeros_like(tY), tY)
+    digits = msm._scalars_to_windows(S, c)
+    out = msm._fixed_base_rows(tX, tY, digits, c, group)
+    return out, scs
+
+
+def test_fixed_base_rows_g1():
+    out, scs = _fixed_base_rows_case("g1")
+    assert C.unpack_g1(out) == [G1.generator() * Fr(s) for s in scs]
+
+
+def test_fixed_base_rows_g2():
+    from zukelang_tpu.golden.curve import G2
+    out, scs = _fixed_base_rows_case("g2")
+    assert C.unpack_g2(out) == [G2.generator() * Fr(s) for s in scs]
+
+
+def test_msm_collision_host_fallback():
+    """Duplicate points in a bucket trip the collided flag; the public
+    wrapper must transparently re-dispatch the safe program and still
+    return the exact golden MSM."""
+    n = 256
+    g = G1.generator()
+    pts = [g * 7] * n                      # every bucket collides
+    scs = [random.randrange(params.R) for _ in range(n)]
+    Paff = C.to_affine(C.pack_g1(pts), C.FQ_OPS)
+    S = F.pack(scs, F.FR)
+    got = msm.msm_staged(Paff, S, group="g1", c=8)
+    assert got == G1.dot(pts, [Fr(s) for s in scs])

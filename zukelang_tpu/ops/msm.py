@@ -806,12 +806,20 @@ def _combine_windows(stacked: C.Point, c: int, n_windows: int,
 
 
 def _msm_fused_impl(points, scalars_std: jnp.ndarray, c: int,
-                    ops: C.FieldOps, infinity, group: str) -> C.Point:
+                    ops: C.FieldOps, infinity, group: str):
     """The whole Pippenger MSM as ONE traced program: signed digit
     extraction, a lax.scan over windows (fused sort/scan/reduce kernels in
     the body compile once), masked-double window combine.  A single device
     dispatch — on a tunneled TPU, per-program dispatch latency (~25 ms)
-    otherwise dominates every window."""
+    otherwise dominates every window.
+
+    Returns (X, Y, Z, collided).  `collided` True means some lane hit the
+    doubling-degenerate mixed add (duplicate points within a bucket) and
+    the result is garbage: the CALLER re-dispatches the safe program
+    (_jit_msm_safe).  Keeping the safe path out of this program halves
+    the XLA graph (it used to ride along under a lax.cond, doubling
+    compile time of the hot program for a branch that never runs on CRS
+    inputs)."""
     digits = _scalars_to_signed_windows(scalars_std, c)   # (W, N)
     n_windows = digits.shape[0]
     affine = len(points) == 2
@@ -831,34 +839,15 @@ def _msm_fused_impl(points, scalars_std: jnp.ndarray, c: int,
 
         _, outs = jax.lax.scan(window_body, 0, digits)
         collided_any = jnp.any(outs[7])
-
-        def good(_):
-            buckets = _assemble_buckets_batched(
-                outs, n_windows, nb, M, ops, group)   # (coord.., W*nb)
-            buckets = _pad_blocks(
-                buckets[0], n_windows, nb, nbp), _pad_blocks(
-                buckets[1], n_windows, nb, nbp), _pad_blocks(
-                buckets[2], n_windows, nb, nbp)
-            totals, _ = _wreduce_batched(buckets, n_windows, nbp, ops, group)
-            return _combine_windows(totals, c, n_windows, ops, group)
-
-        def safe(_):
-            # some lane hit the doubling-degenerate mixed add (duplicate
-            # points in a bucket): redo the whole MSM on the log-depth
-            # general-add path — correct for any input.
-            def body(carry, dig):
-                pts, absd = _apply_signs(points, dig, ops)
-                buckets = _bucket_sums(C.affine_to_jac(pts, ops), absd, nb,
-                                       ops, infinity)
-                ws = _weighted_bucket_reduce(
-                    _pad_buckets(buckets, nb_pad, infinity), ops, infinity)
-                return carry, ws
-
-            _, wsums = jax.lax.scan(body, 0, digits)
-            stacked = tuple(jnp.moveaxis(v, 0, -1)[..., 0, :] for v in wsums)
-            return _combine_windows(stacked, c, n_windows, ops, None)
-
-        return jax.lax.cond(collided_any, safe, good, 0)
+        buckets = _assemble_buckets_batched(
+            outs, n_windows, nb, M, ops, group)   # (coord.., W*nb)
+        buckets = _pad_blocks(
+            buckets[0], n_windows, nb, nbp), _pad_blocks(
+            buckets[1], n_windows, nb, nbp), _pad_blocks(
+            buckets[2], n_windows, nb, nbp)
+        totals, _ = _wreduce_batched(buckets, n_windows, nbp, ops, group)
+        return _combine_windows(totals, c, n_windows, ops, group) + (
+            collided_any,)
 
     def window_body(carry, dig):
         pts, absd = _apply_signs(points, dig, ops)
@@ -877,8 +866,33 @@ def _msm_fused_impl(points, scalars_std: jnp.ndarray, c: int,
     _, wsums = jax.lax.scan(window_body, 0, digits)
     # wsums arrays are (W, ..., 1); move the window axis to the batch slot
     stacked = tuple(jnp.moveaxis(v, 0, -1)[..., 0, :] for v in wsums)
+    # these paths resolve degenerate adds in-formula: never collided
     return _combine_windows(stacked, c, n_windows, ops,
-                            group if fused else None)
+                            group if fused else None) + (
+        jnp.zeros((), jnp.bool_),)
+
+
+def _msm_safe_impl(points, scalars_std: jnp.ndarray, c: int,
+                   ops: C.FieldOps, infinity, group: str) -> C.Point:
+    """Collision-safe MSM: log-depth general-add bucket accumulation,
+    correct for ANY input (duplicate points included).  Compiled only on
+    demand — the first time a fused dispatch reports a collision."""
+    digits = _scalars_to_signed_windows(scalars_std, c)
+    n_windows = digits.shape[0]
+    nb = (1 << (c - 1)) + 1
+    nb_pad = -(-nb // 64) * 64 if nb >= 128 else nb
+
+    def body(carry, dig):
+        pts, absd = _apply_signs(points, dig, ops)
+        jac = C.affine_to_jac(pts, ops) if len(pts) == 2 else pts
+        buckets = _bucket_sums(jac, absd, nb, ops, infinity)
+        ws = _weighted_bucket_reduce(
+            _pad_buckets(buckets, nb_pad, infinity), ops, infinity)
+        return carry, ws
+
+    _, wsums = jax.lax.scan(body, 0, digits)
+    stacked = tuple(jnp.moveaxis(v, 0, -1)[..., 0, :] for v in wsums)
+    return _combine_windows(stacked, c, n_windows, ops, None)
 
 
 @functools.lru_cache(maxsize=64)
@@ -889,17 +903,17 @@ def _jit_msm_fused(group: str, c: int, affine: bool):
         _msm_fused_impl, c=c, ops=ops, infinity=infinity, group=group))
 
 
-def _msm_many_fused_impl(tables, scalars_mont: jnp.ndarray, pmap, c: int,
-                         ops: C.FieldOps, infinity, group: str) -> C.Point:
-    """B same-size MSMs of one group in ONE traced program — the whole
-    Groth16 G1 prove side is a single dispatch.
+@functools.lru_cache(maxsize=16)
+def _jit_msm_safe(group: str, c: int):
+    ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
+    infinity = C.infinity_g1 if group == "g1" else C.infinity_g2
+    return jax.jit(functools.partial(
+        _msm_safe_impl, c=c, ops=ops, infinity=infinity, group=group))
 
-    tables: tuple of T affine (X, Y) point sets, each width n; pmap: static
-    length-B tuple, MSM j uses tables[pmap[j]]; scalars_mont: (B, nl, n)
-    MONTGOMERY scalars (converted in-program).  The lax.scan runs over all
-    B*W (msm, window) pairs; carries, bucket assembly, the weighted reduce
-    and the doubling combine are batched across every block.  Returns a
-    batch-B device point."""
+
+def _many_digit_blocks(tables, scalars_mont: jnp.ndarray, pmap, c: int):
+    """Shared front half of the many-MSM programs: row tables, signed
+    digit blocks (B*W, n), per-block table base offsets."""
     n = tables[0][0].shape[-1]
     B = scalars_mont.shape[0]
     precs = jnp.concatenate([_prep_rows(t) for t in tables], axis=0)
@@ -911,6 +925,25 @@ def _msm_many_fused_impl(tables, scalars_mont: jnp.ndarray, pmap, c: int,
     dig_blocks = digits.reshape(W, B, n).transpose(1, 0, 2).reshape(B * W, n)
     bases = jnp.repeat(
         jnp.asarray(np.array(pmap, np.int32) * (2 * n)), W)
+    return precs, dig_blocks, bases, n, B, W
+
+
+def _msm_many_fused_impl(tables, scalars_mont: jnp.ndarray, pmap, c: int,
+                         ops: C.FieldOps, infinity, group: str):
+    """B same-size MSMs of one group in ONE traced program — the whole
+    Groth16 G1 prove side is a single dispatch.
+
+    tables: tuple of T affine (X, Y) point sets, each width n; pmap: static
+    length-B tuple, MSM j uses tables[pmap[j]]; scalars_mont: (B, nl, n)
+    MONTGOMERY scalars (converted in-program).  The lax.scan runs over all
+    B*W (msm, window) pairs; carries, bucket assembly, the weighted reduce
+    and the doubling combine are batched across every block.  Returns a
+    batch-B device point plus a `collided` flag — on True the caller
+    re-dispatches _jit_msm_many_safe (the safe path is a separate
+    on-demand program, not an in-graph lax.cond branch: carrying it
+    doubled the compile time of the hot program)."""
+    precs, dig_blocks, bases, n, B, W = _many_digit_blocks(
+        tables, scalars_mont, pmap, c)
     nb = (1 << (c - 1)) + 1
     nbp = -(-nb // 32) * 32
     M = n // 32
@@ -922,40 +955,43 @@ def _msm_many_fused_impl(tables, scalars_mont: jnp.ndarray, pmap, c: int,
 
     _, outs = jax.lax.scan(body, 0, (dig_blocks, bases))
     collided_any = jnp.any(outs[7])
+    buckets = _assemble_buckets_batched(outs, B * W, nb, M, ops, group)
+    buckets = tuple(_pad_blocks(v, B * W, nb, nbp) for v in buckets)
+    totals, _ = _wreduce_batched(buckets, B * W, nbp, ops, group)
+    return _combine_windows(totals, c, W, ops, group, n_msm=B) + (
+        collided_any,)
 
-    def good(_):
-        buckets = _assemble_buckets_batched(outs, B * W, nb, M, ops, group)
-        buckets = tuple(_pad_blocks(v, B * W, nb, nbp) for v in buckets)
-        totals, _ = _wreduce_batched(buckets, B * W, nbp, ops, group)
-        return _combine_windows(totals, c, W, ops, group, n_msm=B)
 
-    def safe(_):
-        nb_pad = -(-nb // 64) * 64 if nb >= 128 else nb
+def _msm_many_safe_impl(tables, scalars_mont: jnp.ndarray, pmap, c: int,
+                        ops: C.FieldOps, infinity, group: str) -> C.Point:
+    """Collision-safe batch of B MSMs (general adds); compiled on demand."""
+    precs, dig_blocks, bases, n, B, W = _many_digit_blocks(
+        tables, scalars_mont, pmap, c)
+    nb = (1 << (c - 1)) + 1
+    nb_pad = -(-nb // 64) * 64 if nb >= 128 else nb
 
-        def sbody(carry, xs):
-            dig, base = xs
-            absd = jnp.abs(dig)
-            sign = dig < 0
-            g = precs[jnp.arange(n, dtype=jnp.int32)
-                      + jnp.where(sign, jnp.int32(n), jnp.int32(0))
-                      + base, :]
-            gt = g.T
-            R = gt.shape[0]
-            X, Y = gt[: R // 2], gt[R // 2:]
-            if group == "g2":
-                X = X.reshape(2, R // 4, n)
-                Y = Y.reshape(2, R // 4, n)
-            buckets = _bucket_sums(C.affine_to_jac((X, Y), ops), absd, nb,
-                                   ops, infinity)
-            ws = _weighted_bucket_reduce(
-                _pad_buckets(buckets, nb_pad, infinity), ops, infinity)
-            return carry, ws
+    def sbody(carry, xs):
+        dig, base = xs
+        absd = jnp.abs(dig)
+        sign = dig < 0
+        g = precs[jnp.arange(n, dtype=jnp.int32)
+                  + jnp.where(sign, jnp.int32(n), jnp.int32(0))
+                  + base, :]
+        gt = g.T
+        R = gt.shape[0]
+        X, Y = gt[: R // 2], gt[R // 2:]
+        if group == "g2":
+            X = X.reshape(2, R // 4, n)
+            Y = Y.reshape(2, R // 4, n)
+        buckets = _bucket_sums(C.affine_to_jac((X, Y), ops), absd, nb,
+                               ops, infinity)
+        ws = _weighted_bucket_reduce(
+            _pad_buckets(buckets, nb_pad, infinity), ops, infinity)
+        return carry, ws
 
-        _, wsums = jax.lax.scan(sbody, 0, (dig_blocks, bases))
-        stacked = tuple(jnp.moveaxis(v, 0, -1)[..., 0, :] for v in wsums)
-        return _combine_windows(stacked, c, W, ops, None, n_msm=B)
-
-    return jax.lax.cond(collided_any, safe, good, 0)
+    _, wsums = jax.lax.scan(sbody, 0, (dig_blocks, bases))
+    stacked = tuple(jnp.moveaxis(v, 0, -1)[..., 0, :] for v in wsums)
+    return _combine_windows(stacked, c, W, ops, None, n_msm=B)
 
 
 @functools.lru_cache(maxsize=32)
@@ -967,11 +1003,23 @@ def _jit_msm_many(group: str, c: int, pmap: tuple):
         group=group))
 
 
+@functools.lru_cache(maxsize=16)
+def _jit_msm_many_safe(group: str, c: int, pmap: tuple):
+    ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
+    infinity = C.infinity_g1 if group == "g1" else C.infinity_g2
+    return jax.jit(functools.partial(
+        _msm_many_safe_impl, pmap=pmap, c=c, ops=ops, infinity=infinity,
+        group=group))
+
+
 def msm_many_staged_device(tables, scalars_mont_list, pmap,
                            group: str = "g1", c: int = None) -> C.Point:
     """B MSMs against T shared affine tables, one program dispatch.
     scalars_mont_list: list of (nl, n) MONTGOMERY scalar batches; returns
-    the batch-B device point (callers unpack once)."""
+    the batch-B device point (callers unpack once).
+
+    The one host sync here (the collision flag) re-dispatches the safe
+    program in the cryptographically-negligible duplicate-point case."""
     n = tables[0][0].shape[-1]
     if c is None:
         c = auto_window(n)
@@ -984,7 +1032,10 @@ def msm_many_staged_device(tables, scalars_mont_list, pmap,
         return tuple(jnp.concatenate([p[i] for p in singles], axis=-1)
                      for i in range(3))
     S = jnp.stack(list(scalars_mont_list), axis=0)
-    return _jit_msm_many(group, c, tuple(pmap))(tuple(tables), S)
+    X, Y, Z, col = _jit_msm_many(group, c, tuple(pmap))(tuple(tables), S)
+    if bool(col):
+        return _jit_msm_many_safe(group, c, tuple(pmap))(tuple(tables), S)
+    return (X, Y, Z)
 
 
 @functools.lru_cache(maxsize=4)
@@ -1045,10 +1096,16 @@ def msm_staged_device(points, scalars_std: jnp.ndarray,
     Despite the name (kept for API stability), the MSM now runs as ONE
     fused program (_msm_fused_impl) rather than host-staged windows:
     through the axon tunnel each program dispatch costs ~25 ms, which at
-    ~20 windows dominated the whole MSM."""
+    ~20 windows dominated the whole MSM.  The collision flag costs one
+    host sync; a True flag (duplicate points in a bucket) re-dispatches
+    the safe on-demand program."""
     if c is None:
         c = auto_window(points[0].shape[-1])
-    return _jit_msm_fused(group, c, len(points) == 2)(points, scalars_std)
+    X, Y, Z, col = _jit_msm_fused(group, c, len(points) == 2)(
+        points, scalars_std)
+    if bool(col):
+        return _jit_msm_safe(group, c)(points, scalars_std)
+    return (X, Y, Z)
 
 
 def msm_staged(points: C.Point, scalars_std: jnp.ndarray, group: str = "g1",
@@ -1169,8 +1226,14 @@ def _fixed_base_table_device(group: str, c: int, gen) -> C.Point:
 
 def fixed_base_mul(scalars_std: jnp.ndarray, group: str = "g1",
                    c: int = 8) -> C.Point:
-    """[g * s for s in scalars] — window-table gathers + a fori of mixed
-    adds (the table is affine: 11 muls per add lane instead of 24)."""
+    """[g * s for s in scalars] — window-table gathers + mixed adds (the
+    table is affine: 11 muls per add lane instead of 24).
+
+    On TPU the W per-element window points are fetched with ONE row gather
+    (rows ~10x faster than lane gathers) and summed by the fused
+    bucket-scan kernel with one segment per element (chunk size = W) —
+    the same kernel the MSM bucket phase uses.  Elsewhere: a fori of
+    lane-gather + madd steps."""
     tX, tY, tZ = tuple(jnp.asarray(x) for x in _fixed_base_table(group, c))
     ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
     # table entries are (0, 1, 0) at infinity -> affine marker (0, 0)
@@ -1178,6 +1241,9 @@ def fixed_base_mul(scalars_std: jnp.ndarray, group: str = "g1",
     tY = ops.select(tinf, ops.zeros_like(tY), tY)
     digits = _scalars_to_windows(scalars_std, c)  # (W, N)
     n_windows = digits.shape[0]
+
+    if F._use_pallas() and digits.shape[1] >= 128:
+        return _fixed_base_rows(tX, tY, digits, c, group)
 
     def window_points(w, dig):
         idx = w * (1 << c) + dig
@@ -1189,6 +1255,68 @@ def fixed_base_mul(scalars_std: jnp.ndarray, group: str = "g1",
 
     acc = C.affine_to_jac(window_points(0, digits[0]), ops)
     return jax.lax.fori_loop(1, n_windows, body, acc)
+
+
+# Max elements per fixed-base kernel dispatch: the gathered row stream is
+# W * SLICE rows (~800 MB at W=32, SLICE=2^17, G1) — bounds peak HBM while
+# one compiled shape serves every large batch via lax.scan.
+_FB_SLICE = 1 << 17
+
+
+def _fixed_base_rows(tX, tY, digits: jnp.ndarray, c: int,
+                     group: str) -> C.Point:
+    """Fixed-base batch via the row-major scan kernel.
+
+    Table rows: entry [w*2^c + d] = d*2^(cw)*G as stacked [X; Y] limbs.
+    Element e's W window points occupy chunk e of the (N*W)-row stream;
+    seg id = e makes each chunk one segment, so the (tails-only) scan
+    output is the full per-element sum.  Partial sums are strictly
+    smaller as group-log values than the next window's point (sum of low
+    windows < 2^(cw) <= any nonzero d*2^(cw)), so the doubling-degenerate
+    madd case cannot occur; infinities (d = 0) are identity-handled
+    in-kernel.  Batches beyond _FB_SLICE run as a lax.scan over slices —
+    one compiled shape, bounded peak memory."""
+    W, n = digits.shape
+
+    def fl(v):
+        return v.reshape(2 * v.shape[1], v.shape[2]) if v.ndim == 3 else v
+
+    rows = jnp.concatenate([fl(tX), fl(tY)], axis=0).T   # (W*2^c, R)
+
+    slice_ = _FB_SLICE // (2 if group == "g2" else 1)
+    if n <= slice_ or n % slice_ != 0:
+        tails = _fb_rows_slice(rows, digits, c, group)
+    else:
+        n_sl = n // slice_
+        digs = digits.reshape(W, n_sl, slice_).transpose(1, 0, 2)
+
+        def body(carry, dslice):
+            return carry, _fb_rows_slice(rows, dslice, c, group)
+
+        _, outs = jax.lax.scan(body, 0, digs)   # each (n_sl, rows, SLICE)
+        tails = tuple(
+            jnp.moveaxis(o, 0, 1).reshape(o.shape[1], n) for o in outs)
+    if group == "g2":
+        nl = tails[0].shape[0] // 2
+        return tuple(v.reshape(2, nl, n) for v in tails)
+    return tails
+
+
+def _fb_rows_slice(rows: jnp.ndarray, digits: jnp.ndarray, c: int,
+                   group: str) -> Tuple[jnp.ndarray, ...]:
+    """One fixed-base slice: row gather + tails-only scan -> 3 x (rows, m)."""
+    from . import pallas_kernels as PK
+    W, m = digits.shape
+    offs = (jnp.arange(W, dtype=jnp.int32) << c)[None, :]   # (1, W)
+    idx = (digits.T.astype(jnp.int32) + offs).reshape(m * W)
+    g = rows[idx, :]                                     # (m*W, R)
+    R = g.shape[1]
+    pts3 = g.reshape(m, W, R).transpose(1, 2, 0)         # (K=W, R, m)
+    seg = jnp.arange(m, dtype=jnp.int32)[None, None, :]
+    seg3 = jnp.broadcast_to(seg, (W, 1, m))
+    scanned3, _col = PK.bucket_scan_rows(pts3, seg3, seg3, group,
+                                         tails_only=True)
+    return tuple(v[0] for v in scanned3)                 # 3 x (rows, m)
 
 
 def powers_of(s: int, d: int) -> jnp.ndarray:

@@ -1250,7 +1250,13 @@ def _seg_scan_kernel2(seg_ref, segp_ref, pts_ref, ox_ref, oy_ref, oz_ref,
 
 
 @functools.lru_cache(maxsize=16)
-def _seg_scan2_call(group: str, K: int, m: int, block: int, interpret: bool):
+def _seg_scan2_call(group: str, K: int, m: int, block: int, interpret: bool,
+                    tails_only: bool = False):
+    """tails_only=True maps every t to output block 0 (each grid step
+    overwrites; the t = K-1 write survives), so only the final chunk
+    accumulators reach HBM — (1, rows, m) instead of (K, rows, m).  The
+    fixed-base path needs this: its K = W row stream at 2^21 elements
+    would otherwise write ~19 GB of intermediate prefixes."""
     spec = F.FQ
     nl = spec.nl
     fq2 = group == "g2"
@@ -1262,15 +1268,21 @@ def _seg_scan2_call(group: str, K: int, m: int, block: int, interpret: bool):
         one_limbs=one_limbs)
     bs_pts = pl.BlockSpec((1, 2 * rows, block), lambda i, t: (t, 0, i),
                           memory_space=pl.ANY if interpret else pltpu.VMEM)
-    bs3 = pl.BlockSpec((1, rows, block), lambda i, t: (t, 0, i),
-                       memory_space=pl.ANY if interpret else pltpu.VMEM)
+    if tails_only:
+        k_out = 1
+        bs3 = pl.BlockSpec((1, rows, block), lambda i, t: (0, 0, i),
+                           memory_space=pl.ANY if interpret else pltpu.VMEM)
+    else:
+        k_out = K
+        bs3 = pl.BlockSpec((1, rows, block), lambda i, t: (t, 0, i),
+                           memory_space=pl.ANY if interpret else pltpu.VMEM)
     bs_seg = pl.BlockSpec((1, 1, block), lambda i, t: (t, 0, i),
                           memory_space=pl.ANY if interpret else pltpu.VMEM)
     bs_fl = pl.BlockSpec((8, block), lambda i, t: (0, i),
                          memory_space=pl.ANY if interpret else pltpu.VMEM)
     return jax.jit(pl.pallas_call(
         kernel,
-        out_shape=tuple(jax.ShapeDtypeStruct((K, rows, m), jnp.uint32)
+        out_shape=tuple(jax.ShapeDtypeStruct((k_out, rows, m), jnp.uint32)
                         for _ in range(3))
         + (jax.ShapeDtypeStruct((8, m), jnp.uint32),),
         grid=(m // block, K),
@@ -1283,11 +1295,13 @@ def _seg_scan2_call(group: str, K: int, m: int, block: int, interpret: bool):
 
 def bucket_scan_rows(pts3: jnp.ndarray, seg3: jnp.ndarray,
                      segp3: jnp.ndarray, group: str = "g1",
-                     block: int = None, interpret: bool = None):
+                     block: int = None, interpret: bool = None,
+                     tails_only: bool = False):
     """Segmented mixed-add scan over pre-laid-out inputs: pts3 is
     (K, 2*rows, M) stacked [X; Y] rows (sign-applied, (0,0) = infinity),
     seg3/segp3 are (K, 1, M).  Returns ((K, rows, M) X/Y/Z scanned,
-    (M,) collision flags)."""
+    (M,) collision flags); with tails_only the scanned arrays are
+    (1, rows, M) holding only each chunk's final accumulator."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     if block is None:
@@ -1299,8 +1313,8 @@ def bucket_scan_rows(pts3: jnp.ndarray, seg3: jnp.ndarray,
         pts3 = jnp.pad(pts3, ((0, 0), (0, 0), (0, mpad - m)))
         seg3 = jnp.pad(seg3, ((0, 0), (0, 0), (0, mpad - m)))
         segp3 = jnp.pad(segp3, ((0, 0), (0, 0), (0, mpad - m)))
-    ox, oy, oz, fl = _seg_scan2_call(group, K, mpad, blk, interpret)(
-        seg3, segp3, pts3)
+    ox, oy, oz, fl = _seg_scan2_call(group, K, mpad, blk, interpret,
+                                     tails_only)(seg3, segp3, pts3)
     return ((ox[..., :m], oy[..., :m], oz[..., :m]), fl[0, :m] != 0)
 
 
