@@ -146,38 +146,36 @@ def main():
 
     rungs = _plan()
     results = []
-    # rough wall cost of the completed headline rung, used to gate bigger ones
-    head_cost = None
-    head_cold = False
+    # wall cost of the completed headline rung gates the optional ones:
+    # warm cache -> minutes -> everything runs; cold -> an hour -> skip.
+    head_wall = None
+    head_failed = False
     for i, (proto, log_n) in enumerate(rungs):
         mandatory = i < 2
         if not mandatory:
             remaining = BUDGET_S - _elapsed()
-            if head_cost is None:
+            if head_wall is None:
                 est = 600 if proto == "pinocchio" else 2500
             elif proto == "pinocchio":
-                est = (900 if head_cold else max(120, 3 * head_cost))
+                est = max(180, 1.5 * head_wall)
             elif log_n >= 20:
-                est = (2500 if head_cold else 12 * head_cost + 120)
+                est = 4 * head_wall + 180
             else:
-                est = max(120, 2 * head_cost)
-            if remaining < est:
+                est = max(120, head_wall)
+            if remaining < est or (head_failed and proto == "groth16"
+                                   and log_n >= 20):
                 print(f"[bench] skipping {proto} 2^{log_n}: remaining "
-                      f"{remaining:.0f}s < est {est:.0f}s", file=sys.stderr,
+                      f"{remaining:.0f}s, est {est:.0f}s, "
+                      f"head_failed={head_failed}", file=sys.stderr,
                       flush=True)
                 continue
+        t_rung = time.time()
         rec = _run_rung(proto, log_n, repeats)
         _emit(rec)
         results.append(rec)
-        if rec["value"] > 0 and proto == "groth16" and log_n == LOG_N:
-            d = rec["detail"]
-            head_cost = d["keygen_s"] + d["prove_first_s"] + \
-                repeats * d["prove_s"] + d["verify_s"]
-            head_cold = d["prove_first_s"] > 5 * max(d["prove_s"], 1e-3)
-        if rec["value"] < 0 and proto == "groth16" and log_n == LOG_N:
-            # headline failed: a 2^20 attempt would fail the same way
-            rungs = [r for r in rungs if not (r[0] == "groth16"
-                                              and r[1] >= 20)]
+        if proto == "groth16" and log_n == LOG_N:
+            head_wall = time.time() - t_rung
+            head_failed = rec["value"] < 0
 
     # final headline: the most significant completed rung, all rungs in detail
     ok = [r for r in results if r["value"] > 0]
