@@ -341,3 +341,67 @@ def test_msm_staged_signed_negative_digit_path():
     P, S = C.pack_g1(pts), F.pack(scs, F.FR)
     got = msm.msm_staged(C.to_affine(P, C.FQ_OPS), S, group="g1", c=5)
     assert got == G1.dot(pts, [Fr(s) for s in scs])
+
+
+def test_msm_forced_collision_safe_redispatch(monkeypatch):
+    """Cover the collided -> safe re-dispatch on the CPU backend (ADVICE
+    r4): the real fused path only sets the flag on TPU, so poison the
+    fused program to return garbage + collided=True and assert the
+    wrapper transparently re-dispatches _jit_msm_safe — the result is
+    correct only if the safe program actually ran."""
+    n = 32
+    g = G1.generator()
+    pts = [g * (i + 1) for i in range(n)]
+    scs = [random.randrange(params.R) for _ in range(n)]
+    Paff = C.to_affine(C.pack_g1(pts), C.FQ_OPS)
+    S = F.pack(scs, F.FR)
+
+    real_fused = msm._jit_msm_fused
+    safe_calls = []
+    real_safe = msm._jit_msm_safe
+
+    def fake_fused(group, c, affine):
+        fn = real_fused(group, c, affine)
+
+        def run(points, scalars_std):
+            X, Y, Z, _ = fn(points, scalars_std)
+            return (jnp.zeros_like(X), jnp.zeros_like(Y),
+                    jnp.zeros_like(Z), jnp.ones((), jnp.bool_))
+
+        return run
+
+    def spying_safe(group, c):
+        safe_calls.append((group, c))
+        return real_safe(group, c)
+
+    monkeypatch.setattr(msm, "_jit_msm_fused", fake_fused)
+    monkeypatch.setattr(msm, "_jit_msm_safe", spying_safe)
+    got = msm.msm_staged(Paff, S, group="g1", c=8)
+    assert safe_calls == [("g1", 8)]
+    assert got == G1.dot(pts, [Fr(s) for s in scs])
+
+
+def test_msm_many_deferred_resolves_after_dispatch():
+    """msm_many_staged_deferred (ADVICE r4: defer the collision sync)
+    must allow several dispatches before any resolve and still match the
+    golden result for each MSM in the batch."""
+    n = 32
+    g = G1.generator()
+    t1 = [g * (i + 3) for i in range(n)]
+    t2 = [g * (2 * i + 5) for i in range(n)]
+    s1 = [random.randrange(params.R) for _ in range(n)]
+    s2 = [random.randrange(params.R) for _ in range(n)]
+    T1 = C.to_affine(C.pack_g1(t1), C.FQ_OPS)
+    T2 = C.to_affine(C.pack_g1(t2), C.FQ_OPS)
+    S1 = jnp.asarray(F.pack_mont(s1, F.FR))
+    S2 = jnp.asarray(F.pack_mont(s2, F.FR))
+
+    r_a = msm.msm_many_staged_deferred((T1, T2), [S1, S2], pmap=(0, 1),
+                                       group="g1", c=4)
+    r_b = msm.msm_many_staged_deferred((T2,), [S1], pmap=(0,),
+                                       group="g1", c=4)
+    got_a = C.unpack_g1(r_a())
+    got_b = C.unpack_g1(r_b())
+    assert got_a[0] == G1.dot(t1, [Fr(s) for s in s1])
+    assert got_a[1] == G1.dot(t2, [Fr(s) for s in s2])
+    assert got_b[0] == G1.dot(t2, [Fr(s) for s in s1])

@@ -1012,30 +1012,53 @@ def _jit_msm_many_safe(group: str, c: int, pmap: tuple):
         group=group))
 
 
-def msm_many_staged_device(tables, scalars_mont_list, pmap,
-                           group: str = "g1", c: int = None) -> C.Point:
-    """B MSMs against T shared affine tables, one program dispatch.
-    scalars_mont_list: list of (nl, n) MONTGOMERY scalar batches; returns
-    the batch-B device point (callers unpack once).
+def msm_many_staged_deferred(tables, scalars_mont_list, pmap,
+                             group: str = "g1", c: int = None):
+    """Dispatch B MSMs against T shared affine tables as one program and
+    return a zero-arg `resolve()` that yields the batch-B device point.
 
-    The one host sync here (the collision flag) re-dispatches the safe
-    program in the cryptographically-negligible duplicate-point case."""
+    The collision-flag check (`bool(col)`, one blocking host sync that
+    re-dispatches the safe program in the cryptographically-negligible
+    duplicate-point case) happens inside `resolve`, NOT at dispatch:
+    callers issuing several MSM programs (the Pinocchio prover's G1 and
+    G2 sides, consecutive Groth16 dispatches) launch them all first and
+    resolve in a second pass, so the device queue stays full in the
+    common no-collision case."""
     n = tables[0][0].shape[-1]
     if c is None:
         c = auto_window(n)
     if not F._use_pallas() or n % 32 != 0 or n // 32 < 2:
         # CPU / tiny fallback: one fused program per MSM, concatenated
-        singles = [
-            msm_staged_device(tables[pmap[j]], _to_std_cpu(s), group=group,
-                              c=c)
+        resolvers = [
+            msm_staged_deferred(tables[pmap[j]], _to_std_cpu(s), group=group,
+                                c=c)
             for j, s in enumerate(scalars_mont_list)]
-        return tuple(jnp.concatenate([p[i] for p in singles], axis=-1)
-                     for i in range(3))
+
+        def resolve_cpu():
+            singles = [r() for r in resolvers]
+            return tuple(jnp.concatenate([p[i] for p in singles], axis=-1)
+                         for i in range(3))
+
+        return resolve_cpu
     S = jnp.stack(list(scalars_mont_list), axis=0)
     X, Y, Z, col = _jit_msm_many(group, c, tuple(pmap))(tuple(tables), S)
-    if bool(col):
-        return _jit_msm_many_safe(group, c, tuple(pmap))(tuple(tables), S)
-    return (X, Y, Z)
+
+    def resolve():
+        if bool(col):
+            return _jit_msm_many_safe(group, c, tuple(pmap))(tuple(tables), S)
+        return (X, Y, Z)
+
+    return resolve
+
+
+def msm_many_staged_device(tables, scalars_mont_list, pmap,
+                           group: str = "g1", c: int = None) -> C.Point:
+    """B MSMs against T shared affine tables, one program dispatch.
+    scalars_mont_list: list of (nl, n) MONTGOMERY scalar batches; returns
+    the batch-B device point (callers unpack once).  Single-program
+    convenience wrapper over msm_many_staged_deferred."""
+    return msm_many_staged_deferred(tables, scalars_mont_list, pmap,
+                                    group=group, c=c)()
 
 
 @functools.lru_cache(maxsize=4)
@@ -1082,6 +1105,25 @@ def _jit_window_combine(group: str, c: int, n_windows: int):
     return jax.jit(run)
 
 
+def msm_staged_deferred(points, scalars_std: jnp.ndarray,
+                        group: str = "g1", c: int = None):
+    """Dispatch one fused MSM program; returns a zero-arg `resolve()`
+    yielding the batch-1 device point.  The collision-flag host sync is
+    deferred to `resolve` so several MSM dispatches can overlap (see
+    msm_many_staged_deferred)."""
+    if c is None:
+        c = auto_window(points[0].shape[-1])
+    X, Y, Z, col = _jit_msm_fused(group, c, len(points) == 2)(
+        points, scalars_std)
+
+    def resolve():
+        if bool(col):
+            return _jit_msm_safe(group, c)(points, scalars_std)
+        return (X, Y, Z)
+
+    return resolve
+
+
 def msm_staged_device(points, scalars_std: jnp.ndarray,
                       group: str = "g1", c: int = None) -> C.Point:
     """Host-staged Pippenger returning the batch-1 result ON DEVICE: one
@@ -1099,13 +1141,7 @@ def msm_staged_device(points, scalars_std: jnp.ndarray,
     ~20 windows dominated the whole MSM.  The collision flag costs one
     host sync; a True flag (duplicate points in a bucket) re-dispatches
     the safe on-demand program."""
-    if c is None:
-        c = auto_window(points[0].shape[-1])
-    X, Y, Z, col = _jit_msm_fused(group, c, len(points) == 2)(
-        points, scalars_std)
-    if bool(col):
-        return _jit_msm_safe(group, c)(points, scalars_std)
-    return (X, Y, Z)
+    return msm_staged_deferred(points, scalars_std, group=group, c=c)()
 
 
 def msm_staged(points: C.Point, scalars_std: jnp.ndarray, group: str = "g1",
@@ -1284,18 +1320,25 @@ def _fixed_base_rows(tX, tY, digits: jnp.ndarray, c: int,
     rows = jnp.concatenate([fl(tX), fl(tY)], axis=0).T   # (W*2^c, R)
 
     slice_ = _FB_SLICE // (2 if group == "g2" else 1)
-    if n <= slice_ or n % slice_ != 0:
+    if n <= slice_:
         tails = _fb_rows_slice(rows, digits, c, group)
     else:
-        n_sl = n // slice_
-        digs = digits.reshape(W, n_sl, slice_).transpose(1, 0, 2)
+        # Pad up to a whole number of slices (zero digits gather the d=0
+        # table entry = infinity, identity-handled in-kernel) so the HBM
+        # bound holds for ANY large batch, not just multiples of slice_.
+        npad = -(-n // slice_) * slice_
+        digs_p = (jnp.pad(digits, ((0, 0), (0, npad - n)))
+                  if npad != n else digits)
+        n_sl = npad // slice_
+        digs = digs_p.reshape(W, n_sl, slice_).transpose(1, 0, 2)
 
         def body(carry, dslice):
             return carry, _fb_rows_slice(rows, dslice, c, group)
 
         _, outs = jax.lax.scan(body, 0, digs)   # each (n_sl, rows, SLICE)
         tails = tuple(
-            jnp.moveaxis(o, 0, 1).reshape(o.shape[1], n) for o in outs)
+            jnp.moveaxis(o, 0, 1).reshape(o.shape[1], npad)[..., :n]
+            for o in outs)
     if group == "g2":
         nl = tails[0].shape[0] // 2
         return tuple(v.reshape(2, nl, n) for v in tails)

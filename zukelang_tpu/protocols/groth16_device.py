@@ -98,9 +98,9 @@ DEFAULT_MSM_WINDOW = None
 DEFAULT_FB_WINDOW = 8
 
 
-def _msm_device(points: C.Point, scalars_mont: jnp.ndarray, group: str,
-                c: int = None) -> C.Point:
-    """Dispatch one MSM, result stays on device (batch-1 point)."""
+def _msm_device_deferred(points: C.Point, scalars_mont: jnp.ndarray,
+                         group: str, c: int = None):
+    """Dispatch one MSM; returns resolve() -> batch-1 device point."""
     if c is None:
         c = DEFAULT_MSM_WINDOW
     # Size by the SCALAR count: points beyond it pair with zero scalars and
@@ -110,7 +110,13 @@ def _msm_device(points: C.Point, scalars_mont: jnp.ndarray, group: str,
     P = (tuple(x[..., :n] for x in points)
          if points[0].shape[-1] > n else _pad_points(points, n, group))
     S = _jit_from_mont(params.FR_LIMBS)(_pad_scalars(scalars_mont, n))
-    return msm_mod.msm_staged_device(P, S, group=group, c=c)
+    return msm_mod.msm_staged_deferred(P, S, group=group, c=c)
+
+
+def _msm_device(points: C.Point, scalars_mont: jnp.ndarray, group: str,
+                c: int = None) -> C.Point:
+    """Dispatch one MSM, result stays on device (batch-1 point)."""
+    return _msm_device_deferred(points, scalars_mont, group, c)()
 
 
 def _unpack_many(dev_points, group: str):
@@ -285,9 +291,13 @@ def prove_device(crs: DeviceCRS, fc: flat_mod.FlatCircuit,
     g1_scalars = [fit_sc(a_comb), fit_sc(b_comb),
                   fit_sc(h[:, : max(1, n - 1)]),
                   fit_sc(witness_mont[:, crs.mids_idx])]
-    G1_d = msm_mod.msm_many_staged_device(
+    # dispatch BOTH programs before the first collision-flag sync so the
+    # G2 MSM queues behind the G1 side instead of waiting on its resolve
+    g1_resolve = msm_mod.msm_many_staged_deferred(
         g1_tables, g1_scalars, pmap=(0, 0, 1, 2), group="g1", c=c_w)
-    B_d = _msm_device(crs.ti2, b_comb, "g2", c=c_w)
+    b_resolve = _msm_device_deferred(crs.ti2, b_comb, "g2", c=c_w)
+    G1_d = g1_resolve()
+    B_d = b_resolve()
     A_sum, B1_sum, H_sum, Cmid = C.unpack_g1(G1_d)
     (B_sum,) = _unpack_many([B_d], "g2")
 

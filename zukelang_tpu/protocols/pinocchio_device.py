@@ -212,13 +212,18 @@ def prove_device(pkey: DevicePKey, fc: flat_mod.FlatCircuit,
         g1_tables += [fit_pts(pkey.v_all), fit_pts(pkey.w_all)]
         g1_scalars += [fit_sc(c_all), fit_sc(c_all)]
         pmap += [6, 7]
-    G1_d = msm_mod.msm_many_staged_device(
+    # dispatch the G1 and G2 programs back-to-back, then resolve: the
+    # collision-flag host sync inside resolve would otherwise serialize
+    # the two dispatches (the flag check blocks on the whole program)
+    g1_resolve = msm_mod.msm_many_staged_deferred(
         tuple(g1_tables), g1_scalars, pmap=tuple(pmap), group="g1",
         c=DEFAULT_MSM_WINDOW)
-    G2_d = msm_mod.msm_many_staged_device(
+    g2_resolve = msm_mod.msm_many_staged_deferred(
         (fit_pts(pkey.ww, "g2"), fit_pts(pkey.waw, "g2")),
         [fit_sc(c_mid), fit_sc(c_mid)], pmap=(0, 1), group="g2",
         c=DEFAULT_MSM_WINDOW)
+    G1_d = g1_resolve()
+    G2_d = g2_resolve()
     g1_pts = C.unpack_g1(G1_d)
     ww, waww = C.unpack_g2(G2_d)
     vv, yy, h_pt, vavv, yayy, bvwy = g1_pts[:6]
