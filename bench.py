@@ -152,7 +152,9 @@ def _run_rung_subprocess(proto, log_n, repeats, timeout_s):
 def main():
     if SMOKE:
         # CI mode: in-process, tiny windows, one rung (CPU backends
-        # compile large-window bucket programs too slowly).
+        # compile large-window bucket programs too slowly), no canonical
+        # domain padding (a 2^16 pad would dwarf the smoke size).
+        os.environ.setdefault("BENCH_CANON_LOG", "0")
         from zukelang_tpu import jax_setup  # noqa: F401
         from zukelang_tpu.protocols import groth16_device as gd
         from zukelang_tpu.bench_rung import run_rung

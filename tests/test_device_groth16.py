@@ -28,6 +28,7 @@ PROVE_SCALARS = [Fr(77), Fr(88)]
 def test_device_prove_matches_golden(monkeypatch):
     from zukelang_tpu.protocols import groth16_device as gd
     monkeypatch.setattr(gd, "DEFAULT_MSM_WINDOW", 4)
+    monkeypatch.setattr(gd, "DEFAULT_FB_WINDOW", 4)
     c, q, sol = _instance()
     proto = Groth16()
     pk, vk = proto.keygen(InjectedRng(KEY_SCALARS), c.circuit, q)

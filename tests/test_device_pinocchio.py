@@ -36,6 +36,7 @@ def test_device_pinocchio_matches_golden(monkeypatch, zk):
     from zukelang_tpu.protocols import groth16_device as gd
     from zukelang_tpu.protocols import pinocchio_device as pd
     monkeypatch.setattr(gd, "DEFAULT_MSM_WINDOW", 4)
+    monkeypatch.setattr(gd, "DEFAULT_FB_WINDOW", 4)
     c, q, sol = _instance()
     proto = Pinocchio(zk=zk)
     pk, vk = proto.keygen(InjectedRng(KEY_SCALARS), c.circuit, q)

@@ -8,6 +8,14 @@ runtime), with the witness generated host-side to satisfy every gate.
 Instance shape: a multiplicative chain.  Witness w_0 = 1 (ONE), w_1 = x
 secret; gate g (g = 0..G-1) asserts  w_{g+2} = w_{a_g} * w_{b_g}  with
 a_g, b_g random indices < g+2.  One public output (the last wire).
+
+Canonical shape family (`pad_log`): circuits below the canonical size are
+padded — trivially-satisfied 0 = 0*0 gates plus unused zero-valued mid
+variables — up to a 2^pad_log domain, so every rung <= 2^pad_log reuses
+ONE compiled program family (XLA/Mosaic compile cost is ~independent of
+size, so per-size program fan-out is what made cold benches take 30+ min
+per rung; see docs/PERFORMANCE.md).  The padded proof is a valid proof of
+the padded relation, which embeds the original constraints verbatim.
 """
 
 from __future__ import annotations
@@ -36,21 +44,28 @@ class SyntheticR1CS:
         return jnp.asarray(F.pack_mont(self.witness + [0], F.FR))
 
 
-def make_synthetic_r1cs(log_constraints: int, seed: int = 1) -> SyntheticR1CS:
+def make_synthetic_r1cs(log_constraints: int, seed: int = 1,
+                        pad_log: int = None) -> SyntheticR1CS:
+    """Build the chain instance; `pad_log` >= log_constraints pads the
+    domain with 0 = 0*0 gates and zero-valued dummy mid variables so the
+    flattened shapes (gates, vars, mids) match the canonical family."""
     rng = np.random.RandomState(seed)
     G = 1 << log_constraints
-    V = G + 2
+    if pad_log is None or pad_log < log_constraints:
+        pad_log = log_constraints
+    Gp = 1 << pad_log
+    V = G + 2            # real vars: ONE, secret, G chain wires
+    Vp = Gp + 2          # padded var count (dummies appear in no gate)
     r = params.R
 
-    a_idx = np.empty(G, dtype=np.int64)
-    b_idx = np.empty(G, dtype=np.int64)
-    for g in range(G):
-        hi = g + 2
-        a_idx[g] = rng.randint(0, hi)
-        b_idx[g] = rng.randint(0, hi)
+    # vectorized per-gate index draws (a Python randint loop costs minutes
+    # at 2^20); uniform-float scaling keeps a_g, b_g < g+2
+    his = np.arange(2, G + 2, dtype=np.float64)
+    a_idx = np.minimum((rng.random_sample(G) * his).astype(np.int64), G + 1)
+    b_idx = np.minimum((rng.random_sample(G) * his).astype(np.int64), G + 1)
 
     # witness: w0 = 1, w1 = random secret, w_{g+2} = w_a * w_b
-    w = [0] * V
+    w = [0] * Vp
     w[0] = 1
     w[1] = int.from_bytes(rng.bytes(32), "little") % r
     for g in range(G):
@@ -60,30 +75,45 @@ def make_synthetic_r1cs(log_constraints: int, seed: int = 1) -> SyntheticR1CS:
     one_col = np.asarray(F.pack_mont([1], F.FR))  # (nl, 1) Montgomery one
 
     def side(idx_arr):
-        Gn = len(idx_arr)
-        idx = idx_arr.reshape(Gn, 1).astype(np.int32)
-        coef = np.broadcast_to(one_col.reshape(nl, 1, 1), (nl, Gn, 1)).copy()
-        order = np.argsort(idx_arr, kind="stable")
-        t_var = idx_arr[order].astype(np.int32)
+        # pad gates reference var 0 with coefficient 0 (affine combo = 0)
+        idx_p = np.concatenate(
+            [idx_arr, np.zeros(Gp - G, dtype=np.int64)])
+        idx = idx_p.reshape(Gp, 1).astype(np.int32)
+        coef = np.broadcast_to(one_col.reshape(nl, 1, 1), (nl, Gp, 1)).copy()
+        coef[:, G:, :] = 0
+        order = np.argsort(idx_p, kind="stable")
+        t_var = idx_p[order].astype(np.int32)
         t_gate = order.astype(np.int32)
-        t_coef = np.broadcast_to(one_col, (nl, Gn)).copy()
+        t_coef = np.broadcast_to(one_col, (nl, Gp)).copy()
+        t_coef[:, order >= G] = 0
         return flat_mod.FlatSide(idx=idx, coef=coef, t_var=t_var,
                                  t_gate=t_gate, t_coef=t_coef)
 
     lhs_idx = np.arange(2, G + 2, dtype=np.int64)
     fc = flat_mod.FlatCircuit(
-        vars_sorted=list(range(V)),      # columns ARE the var ids here
-        var_index={i: i for i in range(V)},
-        n_gates=G,
-        logn=log_constraints,
+        vars_sorted=list(range(Vp)),     # columns ARE the var ids here
+        var_index={i: i for i in range(Vp)},
+        n_gates=Gp,
+        logn=pad_log,
         l=side(a_idx),
         r=side(b_idx),
         lhs=side(lhs_idx),
     )
-    # public io: ONE (col 0) and the final output wire; everything else mid
+    # public io: ONE (col 0) and the final output wire; everything else —
+    # including the zero-valued dummy pad vars — is mid (their QAP
+    # polynomials are identically 0, so they contribute nothing).
     ios = np.array([0, V - 1], dtype=np.int32)
-    mids = np.array([i for i in range(1, V - 1)], dtype=np.int32)
+    mids = np.array([i for i in range(1, Vp) if i != V - 1], dtype=np.int32)
     return SyntheticR1CS(fc=fc, witness=w, mids_cols=mids, ios_cols=ios)
+
+
+def canon_pad_log(log_constraints: int) -> int:
+    """Canonical domain for benches: sizes below 2^BENCH_CANON_LOG
+    (default 16) are padded up so they share one compiled program family.
+    Set BENCH_CANON_LOG=0 to disable (CPU smoke tiers do)."""
+    import os
+    canon = int(os.environ.get("BENCH_CANON_LOG", "16"))
+    return max(log_constraints, canon)
 
 
 def bench_pinocchio(log_constraints: int, seed: int = 1, repeats: int = 3,
@@ -96,7 +126,8 @@ def bench_pinocchio(log_constraints: int, seed: int = 1, repeats: int = 3,
 
     prog = progress if progress is not None else {}
     t_all = time.time()
-    inst = make_synthetic_r1cs(log_constraints, seed)
+    inst = make_synthetic_r1cs(log_constraints, seed,
+                               pad_log=canon_pad_log(log_constraints))
     fc = inst.fc
     prog["build_r1cs_s"] = round(time.time() - t_all, 3)
 
@@ -134,6 +165,7 @@ def bench_pinocchio(log_constraints: int, seed: int = 1, repeats: int = 3,
     msm_terms = 5 * n + n + 3 * 2 * n + (2 * n if zk else 0)
     return {
         "log_constraints": log_constraints,
+        "domain_log": fc.logn,
         "keygen_s": t_keygen,
         "prove_first_s": t_first,
         "prove_s": t_prove,
@@ -160,7 +192,8 @@ def bench_groth16(log_constraints: int, seed: int = 1, repeats: int = 3,
     prog = progress if progress is not None else {}
     t_all = time.time()
 
-    inst = make_synthetic_r1cs(log_constraints, seed)
+    inst = make_synthetic_r1cs(log_constraints, seed,
+                               pad_log=canon_pad_log(log_constraints))
     fc = inst.fc
     prog["build_r1cs_s"] = round(time.time() - t_all, 3)
 
@@ -202,6 +235,7 @@ def bench_groth16(log_constraints: int, seed: int = 1, repeats: int = 3,
     msm_terms = 4 * n + len(inst.mids_cols) + 3 * n
     return {
         "log_constraints": log_constraints,
+        "domain_log": fc.logn,
         "keygen_s": t_keygen,
         "prove_first_s": t_first,
         "prove_s": t_prove,

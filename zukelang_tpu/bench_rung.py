@@ -88,6 +88,7 @@ def run_rung(proto: str, log_n: int, repeats: int, progress: dict) -> dict:
         "unit": "s",
         "vs_baseline": round(vs, 2),
         "detail": {
+            "domain_log": res.get("domain_log", log_n),
             "keygen_s": round(res["keygen_s"], 3),
             "prove_first_s": round(res["prove_first_s"], 3),
             "prove_s": round(res["prove_s"], 4),

@@ -1260,8 +1260,18 @@ def _fixed_base_table_device(group: str, c: int, gen) -> C.Point:
     return jax.jit(build)(Bp)
 
 
+@functools.lru_cache(maxsize=8)
+def fixed_base_table_device(group: str, c: int) -> C.Point:
+    """The window table as DEVICE-resident arrays, for passing into jitted
+    callers as an ARGUMENT.  Baking it as an HLO constant instead (the
+    legacy table=None path) is only viable for small c: a c=16 table is
+    ~300 MB and constant-laden programs exceed the axon tunnel's
+    remote-compile request size limit (HTTP 413)."""
+    return tuple(jnp.asarray(x) for x in _fixed_base_table(group, c))
+
+
 def fixed_base_mul(scalars_std: jnp.ndarray, group: str = "g1",
-                   c: int = 8) -> C.Point:
+                   c: int = 8, table: C.Point = None) -> C.Point:
     """[g * s for s in scalars] — window-table gathers + mixed adds (the
     table is affine: 11 muls per add lane instead of 24).
 
@@ -1269,8 +1279,14 @@ def fixed_base_mul(scalars_std: jnp.ndarray, group: str = "g1",
     (rows ~10x faster than lane gathers) and summed by the fused
     bucket-scan kernel with one segment per element (chunk size = W) —
     the same kernel the MSM bucket phase uses.  Elsewhere: a fori of
-    lane-gather + madd steps."""
-    tX, tY, tZ = tuple(jnp.asarray(x) for x in _fixed_base_table(group, c))
+    lane-gather + madd steps.
+
+    `table`: pass fixed_base_table_device(group, c) when calling from an
+    outer jit so the table is a traced argument, not an HLO constant."""
+    if table is not None:
+        tX, tY, tZ = table
+    else:
+        tX, tY, tZ = tuple(jnp.asarray(x) for x in _fixed_base_table(group, c))
     ops = C.FQ_OPS if group == "g1" else C.FQ2_OPS
     # table entries are (0, 1, 0) at infinity -> affine marker (0, 0)
     tinf = ops.is_zero(tZ)

@@ -472,7 +472,6 @@ def sharded_pinocchio_prove(mesh: Mesh, pkey, fc, witness_mont: jnp.ndarray,
     :423-515 ZK): 8 term-sharded MSMs (6 G1 + 2 G2) + the h apply_powers,
     ZK adds the 2 all-variable G1 MSMs.  Byte-identical to
     protocols.pinocchio_device.prove_device under the same injected rng."""
-    import numpy as np
     from ..golden.curve import G1
     from ..protocols.pinocchio import Proof
     from ..protocols.groth16_device import _np2
@@ -482,8 +481,11 @@ def sharded_pinocchio_prove(mesh: Mesh, pkey, fc, witness_mont: jnp.ndarray,
     n = pkey.n
     c_mid = witness_mont[:, pkey.mids_idx]
     V = len(fc.vars_sorted)
-    c_all = witness_mont[:, :V]
-    npad = _np2(max(pkey.si[0].shape[-1], V, c_mid.shape[-1]))
+    npad = _np2(max(pkey.si[0].shape[-1],
+                    pkey.v_all[0].shape[-1] if zk else 1,
+                    c_mid.shape[-1]))
+    n_main = min(V, npad)
+    c_all = witness_mont[:, :n_main]
 
     vv_t, mid_std = _fit(pkey.vv, c_mid, npad, "g1")
     yy_t, _ = _fit(pkey.yy, c_mid, npad, "g1")
@@ -514,10 +516,15 @@ def sharded_pinocchio_prove(mesh: Mesh, pkey, fc, witness_mont: jnp.ndarray,
     wa_t, _ = _fit(pkey.w_all, c_all, npad, "g1")
     v_all = sharded_msm(mesh, va_t, all_std, "g1", c=c)
     w_all = sharded_msm(mesh, wa_t, all_std, "g1", c=c)
+    if pkey.v_all_tail:
+        from ..golden.field import Fr as _Fr
+        from ..ops import field_jax as _F
+        tail_sc = [_Fr(x) for x in
+                   _F.unpack_mont(witness_mont[:, n_main:V], _F.FR)]
+        v_all = v_all + G1.dot(pkey.v_all_tail, tail_sc)
+        w_all = w_all + G1.dot(pkey.w_all_tail, tail_sc)
 
-    ends = C.unpack_g1(_jit_affine_to_jac("g1")(
-        tuple(x[..., np.array([0, n])] for x in pkey.si)))
-    t_g1 = ends[1] - ends[0]
+    t_g1 = pkey.t1   # g^{t(s)}, precomputed at keygen
 
     h2 = (h_pt + v_all * dw + w_all * dv + t_g1 * (dv * dw)
           - G1.generator() * dy)

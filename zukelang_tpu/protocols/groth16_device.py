@@ -93,9 +93,12 @@ def _np2(n: int) -> int:
 DEFAULT_MSM_WINDOW = None
 
 # Fixed-base window width for keygen tables (2^c entries per window).  CPU
-# smoke tiers pin this to 4: the 2^8-entry G2 table build is minutes of
-# XLA:CPU point-adds, while on TPU the default 8 amortizes across keygens.
-DEFAULT_FB_WINDOW = 8
+# smoke tiers pin this to 4 (the large table build is minutes of XLA:CPU
+# point-adds).  On TPU, 16 halves the per-element madd count and gather
+# traffic vs 8 (W = 16 windows per 256-bit scalar instead of 32); the
+# 2^16-entry-per-window tables are built once on device and persisted to
+# .zk_cache (~200 MB G1 / ~400 MB G2 in HBM at dispatch time).
+DEFAULT_FB_WINDOW = 16
 
 
 def _msm_device_deferred(points: C.Point, scalars_mont: jnp.ndarray,
@@ -103,9 +106,8 @@ def _msm_device_deferred(points: C.Point, scalars_mont: jnp.ndarray,
     """Dispatch one MSM; returns resolve() -> batch-1 device point."""
     if c is None:
         c = DEFAULT_MSM_WINDOW
-    # Size by the SCALAR count: points beyond it pair with zero scalars and
-    # contribute nothing, so they are truncated (ti1/ti2 hold n+2 entries —
-    # without truncation a 2^20-degree MSM would pad to 2^21).
+    # Size by the SCALAR count: points beyond it pair with zero scalars
+    # and contribute nothing, so they are truncated.
     n = _np2(scalars_mont.shape[1])
     P = (tuple(x[..., :n] for x in points)
          if points[0].shape[-1] > n else _pad_points(points, n, group))
@@ -175,10 +177,15 @@ def keygen_device(fc: flat_mod.FlatCircuit, mids: Sequence, ios: Sequence,
     ltgm_io_sc = _jit_scale(len(ios_idx))(
         l_at[:, ios_idx], F.const_mont(ginv, len(ios_idx), F.FR))
 
-    # host: powers of tau and the Z(tau) ladder (O(n) modmuls)
+    # host: powers of tau and the Z(tau) ladder (O(n) modmuls).  Exactly n
+    # entries: the prover truncates every table to the 2^logn domain width
+    # anyway (groth16.ml:70-79 materializes 0..n, but tau^n enters the
+    # proof only through Z(tau) inside tiztd), and n is already a power of
+    # two — n+2 entries would pad the fixed-base batches to 2n, doubling
+    # the dominant keygen kernel work.
     ti = []
     acc = 1
-    for _ in range(n + 2):
+    for _ in range(n):
         ti.append(acc)
         acc = acc * tau.n % r
     z_tau = (pow(tau.n, n, r) - 1) % r
@@ -224,31 +231,37 @@ def _jit_scale(n: int):
     return jax.jit(run)
 
 
+# The window table rides in as a jit ARGUMENT (device-resident, cached in
+# msm.fixed_base_table_device): baked-constant tables at c=16 are ~300 MB
+# of HLO and exceed the axon tunnel's remote-compile request limit.
+
 @functools.lru_cache(maxsize=32)
 def _jit_fixed_base_std(n: int, group: str, c: int):
-    def run(S_std):
-        return msm_mod.fixed_base_mul(S_std, group=group, c=c)
+    def run(S_std, table):
+        return msm_mod.fixed_base_mul(S_std, group=group, c=c, table=table)
     return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=32)
 def _jit_fixed_base_mont(n: int, group: str, c: int):
-    def run(S_mont):
+    def run(S_mont, table):
         return msm_mod.fixed_base_mul(F.from_mont(S_mont, F.FR)[:params.FR_LIMBS],
-                                      group=group, c=c)
+                                      group=group, c=c, table=table)
     return jax.jit(run)
 
 
 def _fixed_base_std(scalars: List[int], group: str) -> C.Point:
     n = _np2(len(scalars))
     S = F.pack(scalars + [0] * (n - len(scalars)), F.FR)
-    return _jit_fixed_base_std(n, group, DEFAULT_FB_WINDOW)(S)
+    tbl = msm_mod.fixed_base_table_device(group, DEFAULT_FB_WINDOW)
+    return _jit_fixed_base_std(n, group, DEFAULT_FB_WINDOW)(S, tbl)
 
 
 def _fixed_base_mont(scalars_mont: jnp.ndarray, group: str) -> C.Point:
     n = _np2(scalars_mont.shape[1])
+    tbl = msm_mod.fixed_base_table_device(group, DEFAULT_FB_WINDOW)
     return _jit_fixed_base_mont(n, group, DEFAULT_FB_WINDOW)(
-        _pad_scalars(scalars_mont, n))
+        _pad_scalars(scalars_mont, n), tbl)
 
 
 @functools.lru_cache(maxsize=4)

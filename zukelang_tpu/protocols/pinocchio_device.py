@@ -49,10 +49,16 @@ class DevicePKey:
     waw: C.Point           # {g_w^{aw w_k(s)}}   G2
     yay: C.Point           # {g_y^{ay y_k(s)}}   G1
     bvwy: C.Point          # {g^{b(rv v + rw w + ry y)}}  G1
-    si: C.Point            # {g^{s^i}} i in 0..n G1
+    si: C.Point            # {g^{s^i}} i in 0..n-1  G1
     si2: C.Point           # {g2^{s^i}}          G2 (parity with pkey.si2)
-    v_all: C.Point         # {g^{v_k(s)}} all vars, G1 (ZK h' path)
+    v_all: C.Point         # {g^{v_k(s)}} vars 0..n_main-1, G1 (ZK h' path)
     w_all: C.Point
+    # Variable count V is typically n+2 (> the 2^logn domain); rather than
+    # pad EVERY prove MSM to 2n, the all-var tables keep n_main = min(V,
+    # domain-width) columns on device and the few overflow vars as golden
+    # points, folded in host-side (scalar-mult per tail var per proof).
+    v_all_tail: List       # golden G1 for vars n_main..V-1
+    w_all_tail: List
     vt: G1                 # single blinding-table points (pinocchio.ml:142-150)
     wt: G2
     yt: G1
@@ -62,6 +68,7 @@ class DevicePKey:
     vbt: G1
     wbt: G1
     ybt: G1
+    t1: G1                 # g^{t(s)} (ZK h' path; avoids holding s^n in si)
     mids_idx: np.ndarray   # witness columns of the mid variables
     n: int                 # NTT domain size (degree of the target)
 
@@ -135,8 +142,21 @@ def keygen_device(fc: flat_mod.FlatCircuit, mids: Sequence, ios: Sequence,
     waw_p = mid_base(waw_s, "g2")
     yay_p = mid_base(yay_s, "g1")
     bvwy_p = mid_base(bvwy_s, "g1")
-    v_all_p = _to_affine("g1")(_fixed_base_mont(v_at, "g1"))
-    w_all_p = _to_affine("g1")(_fixed_base_mont(w_at, "g1"))
+    # all-var tables: keep the prove MSM family at the domain width (see
+    # DevicePKey docstring) — overflow vars become golden tail points.
+    from .groth16_device import _np2
+    cap = _np2(max(n, len(mids_idx)))
+    n_main = min(V, cap)
+    v_all_p = _to_affine("g1")(_fixed_base_mont(v_at[:, :n_main], "g1"))
+    w_all_p = _to_affine("g1")(_fixed_base_mont(w_at[:, :n_main], "g1"))
+    if n_main < V:
+        v_all_tail = C.unpack_g1(
+            _fixed_base_mont(v_at[:, n_main:], "g1"))[: V - n_main]
+        w_all_tail = C.unpack_g1(
+            _fixed_base_mont(w_at[:, n_main:], "g1"))[: V - n_main]
+    else:
+        v_all_tail = []
+        w_all_tail = []
 
     # io points are few: through the same device path, unpacked to golden.
     ios_sorted = sorted(ios)
@@ -144,10 +164,14 @@ def keygen_device(fc: flat_mod.FlatCircuit, mids: Sequence, ios: Sequence,
     ww_io = C.unpack_g2(_fixed_base_mont(ww_s[:, ios_idx], "g2"))[:len(ios_idx)]
     yy_io = C.unpack_g1(_fixed_base_mont(yy_s[:, ios_idx], "g1"))[:len(ios_idx)]
 
-    # powers of s in both groups (pinocchio.ml:133-134)
+    # powers of s in both groups (pinocchio.ml:133-134).  Exactly n
+    # entries (a power of two, so the fixed-base batch is not padded to
+    # 2n): the h MSM needs s^0..s^{n-2} only, and the one use of s^n —
+    # g^{t(s)} in the ZK h' derivation (pinocchio.ml:451-486) — is the
+    # dedicated t1 point below.
     ti = []
     acc = 1
-    for _ in range(n + 1):
+    for _ in range(n):
         ti.append(acc)
         acc = acc * s.n % r
     si = _to_affine("g1")(_fixed_base_std(ti, "g1"))
@@ -159,11 +183,13 @@ def keygen_device(fc: flat_mod.FlatCircuit, mids: Sequence, ios: Sequence,
     pkey = DevicePKey(
         vv=vv_p, ww=ww_p, yy=yy_p, vav=vav_p, waw=waw_p, yay=yay_p,
         bvwy=bvwy_p, si=si, si2=si2, v_all=v_all_p, w_all=w_all_p,
+        v_all_tail=v_all_tail, w_all_tail=w_all_tail,
         vt=g1 * (rv * ft), wt=g2 * (rw * ft), yt=g1 * (ry * ft),
         vavt=g1 * (rv * av * ft), wawt=g2 * (rw * aw * ft),
         yayt=g1 * (ry * ay * ft),
         vbt=g1 * (rv * b * ft), wbt=g1 * (rw * b * ft),
         ybt=g1 * (ry * b * ft),
+        t1=g1 * ft,
         mids_idx=mids_idx, n=n)
     vkey = VKey(
         one=g1, one2=g2,
@@ -191,9 +217,13 @@ def prove_device(pkey: DevicePKey, fc: flat_mod.FlatCircuit,
     n = pkey.n
     c_mid = witness_mont[:, pkey.mids_idx]
     V = len(fc.vars_sorted)
-    c_all = witness_mont[:, :V]
     from .groth16_device import DEFAULT_MSM_WINDOW, _np2
-    npad = _np2(max(pkey.si[0].shape[-1], V, c_mid.shape[-1]))
+    # family width: the domain / mids size; all-var MSMs run over their
+    # on-device n_main columns, overflow vars fold in as golden tails.
+    npad = _np2(max(pkey.si[0].shape[-1], pkey.v_all[0].shape[-1] if zk
+                    else 1, c_mid.shape[-1]))
+    n_main = min(V, npad)
+    c_all = witness_mont[:, :n_main]
 
     def fit_pts(p, group="g1"):
         return _pad_points(p, npad, group)
@@ -237,11 +267,14 @@ def prove_device(pkey: DevicePKey, fc: flat_mod.FlatCircuit,
     dw = rng.fr()
     dy = rng.fr()
     v_all, w_all = g1_pts[6:]
+    if pkey.v_all_tail:
+        tail_sc = [Fr(x) for x in
+                   F.unpack_mont(witness_mont[:, n_main:V], F.FR)]
+        v_all = v_all + G1.dot(pkey.v_all_tail, tail_sc)
+        w_all = w_all + G1.dot(pkey.w_all_tail, tail_sc)
 
-    # t(s) in the exponent: target = x^n - 1 -> g^{t(s)} = si[n] - si[0]
-    ends = C.unpack_g1(C.affine_to_jac(
-        tuple(x[..., np.array([0, n])] for x in pkey.si), C.FQ_OPS))
-    t_g1 = ends[1] - ends[0]
+    # t(s) in the exponent (precomputed at keygen: t1 = g^{s^n - 1})
+    t_g1 = pkey.t1
 
     h2 = (h_pt + v_all * dw + w_all * dv + t_g1 * (dv * dw)
           - G1.generator() * dy)

@@ -74,6 +74,42 @@ def var_map_of_json(j, conv) -> Dict[Var, Any]:
     return {var_of_json(vj): conv(xj) for vj, xj in j}
 
 
+# -- Lang values -------------------------------------------------------------
+
+def value_to_json(v):
+    """Typed DSL value (lang.ml:254-306) as a [tag, args...] list:
+    ["field", "<dec>"], ["bool", b], ["uint32", n],
+    ["pair", a, b], ["left", a], ["right", b]."""
+    t = v.tag
+    if t == "field":
+        return [t, fr_to_json(v.args[0])]
+    if t in ("bool", "uint32"):
+        return [t, v.args[0]]
+    if t == "pair":
+        return [t, value_to_json(v.args[0]), value_to_json(v.args[1])]
+    if t in ("left", "right"):
+        return [t, value_to_json(v.args[0])]
+    raise ValueError(f"unknown value tag {t!r}")
+
+
+def value_of_json(j):
+    from .core import lang as L
+    t = j[0]
+    if t == "field":
+        return L.v_field(fr_of_json(j[1]))
+    if t == "bool":
+        return L.v_bool(j[1])
+    if t == "uint32":
+        return L.v_uint32(j[1])
+    if t == "pair":
+        return L.v_pair(value_of_json(j[1]), value_of_json(j[2]))
+    if t == "left":
+        return L.v_left(value_of_json(j[1]))
+    if t == "right":
+        return L.v_right(value_of_json(j[1]))
+    raise ValueError(f"unknown value tag {t!r}")
+
+
 # -- proofs ------------------------------------------------------------------
 
 def groth16_proof_to_json(proof) -> dict:
