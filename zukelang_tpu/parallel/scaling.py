@@ -78,6 +78,7 @@ def measure_ntt_scaling(logn: int, device_counts=None, repeats: int = 3):
 
     results = {}
     t1 = None
+    last_d = None
     for d in device_counts:
         if (1 << log2_) % d or (1 << log1_) % d:
             continue
@@ -98,6 +99,12 @@ def measure_ntt_scaling(logn: int, device_counts=None, repeats: int = 3):
             "melems_per_s": round(N / best / 1e6, 4),
             "efficiency": round(t1 / (d * best), 4),
         }
+        last_d = d
+    if last_d is not None:
+        # per-collective/phase breakdown at the largest mesh (verdict r4
+        # item 7: show WHERE the four-step's time goes)
+        results[last_d]["phase_breakdown"] = sharded.sharded_ntt_phase_times(
+            sharded.make_mesh(last_d), x3, log1_, log2_, repeats=repeats)
     return results
 
 

@@ -212,8 +212,13 @@ def sharded_fixed_base(mesh: Mesh, scalars_std: jnp.ndarray,
 # Four-step distributed NTT
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=16)
 def _twiddle_matrix(log1: int, log2: int, inverse: bool) -> np.ndarray:
-    """(nl, N1, N2) Montgomery twiddles w_N^(i*j)."""
+    """(nl, N1, N2) Montgomery twiddles w_N^(i*j).  Cached: the Python
+    bigint double loop costs seconds at 2^14+ and used to re-run on
+    EVERY sharded_ntt call, a constant host overhead that swamped the
+    shrinking per-shard device work (docs/SCALING.json r4 recorded NTT
+    eff(8)=0.069, below the 2-core structural floor, because of it)."""
     n1, n2 = 1 << log1, 1 << log2
     logn = log1 + log2
     w = ntt_mod.root_for(logn, inverse)
@@ -234,6 +239,47 @@ def _twiddle_matrix(log1: int, log2: int, inverse: bool) -> np.ndarray:
     return arr.T.astype(np.uint32).reshape(F.FR.nl, n1, n2)
 
 
+@functools.lru_cache(maxsize=32)
+def _jit_sharded_ntt(mesh: Mesh, log1: int, log2: int, inverse: bool,
+                     upto: str = "full"):
+    """Jitted four-step NTT program, cached per (mesh, shape, direction)
+    so repeat calls pay one dispatch instead of a fresh shard_map trace
+    (which alone dominated small-N wall time).  `upto` truncates the
+    pipeline for the per-phase breakdown: 'col' = column NTTs only,
+    'tw' = +twiddle scaling, 'a2a' = +all_to_all, 'full' = +row NTTs."""
+
+    def local(blk, twblk):
+        # blk: (nl, N1, N2/D) — column NTTs over axis 1 (local)
+        y = ntt_mod.ntt(blk, inverse=inverse)
+        if upto == "col":
+            return y
+        # twiddle scaling w^(i1*i2)
+        y = ntt_mod._mm(y, twblk)
+        if upto == "tw":
+            return y
+        # all_to_all: reshard from N2-split to N1-split
+        # (nl, N1, N2/D) -> (nl, N1/D, N2)
+        y = jax.lax.all_to_all(y, AXIS, split_axis=1, concat_axis=2,
+                               tiled=True)
+        if upto == "a2a":
+            # keep the output axis consistent for the breakdown caller
+            return jnp.transpose(y, (0, 2, 1))
+        # row NTTs over axis 2 -> transform along N2: transpose axes
+        y = jnp.transpose(y, (0, 2, 1))      # (nl, N2, N1/D)
+        y = ntt_mod.ntt(y, inverse=inverse)  # transform along N2 axis
+        return y                              # (nl, N2, N1/D)
+
+    out_axis = (P(None, None, AXIS) if upto in ("col", "tw")
+                else P(None, AXIS, None) if upto == "a2a"
+                else P(None, None, AXIS))
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, AXIS), P(None, None, AXIS)),
+        out_specs=out_axis,
+        check_vma=False,
+    ))
+
+
 def sharded_ntt(mesh: Mesh, x: jnp.ndarray, log1: int, log2: int,
                 inverse: bool = False) -> jnp.ndarray:
     """Four-step NTT of a (nl, N1, N2) coefficient array (row-major view of
@@ -241,30 +287,38 @@ def sharded_ntt(mesh: Mesh, x: jnp.ndarray, log1: int, log2: int,
     along the N2 axis.  Returns evaluations in transposed (nl, N2, N1)
     layout, sharded along N1.
     """
-    n_dev = mesh.devices.size
     tw = jnp.asarray(_twiddle_matrix(log1, log2, inverse))
+    return _jit_sharded_ntt(mesh, log1, log2, inverse)(x, tw)
 
-    def local(blk, twblk):
-        # blk: (nl, N1, N2/D) — column NTTs over axis 1 (local)
-        y = ntt_mod.ntt(blk, inverse=inverse)
-        # twiddle scaling w^(i1*i2)
-        y = ntt_mod._mm(y, twblk)
-        # all_to_all: reshard from N2-split to N1-split
-        # (nl, N1, N2/D) -> (nl, N1/D, N2)
-        y = jax.lax.all_to_all(y, AXIS, split_axis=1, concat_axis=2,
-                               tiled=True)
-        # row NTTs over axis 2 -> transform along N2: transpose axes
-        y = jnp.transpose(y, (0, 2, 1))      # (nl, N2, N1/D)
-        y = ntt_mod.ntt(y, inverse=inverse)  # transform along N2 axis
-        return y                              # (nl, N2, N1/D)
 
-    out = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(None, None, AXIS), P(None, None, AXIS)),
-        out_specs=P(None, None, AXIS),
-        check_vma=False,
-    )(x, tw)
-    return out
+def sharded_ntt_phase_times(mesh: Mesh, x: jnp.ndarray, log1: int,
+                            log2: int, inverse: bool = False,
+                            repeats: int = 3) -> dict:
+    """Per-phase wall times of the four-step NTT via prefix programs:
+    each phase cost = t(prefix through phase) - t(previous prefix).
+    Phases: col (column NTTs), tw (twiddle mul), a2a (all_to_all +
+    transpose), row (row NTTs)."""
+    tw = jnp.asarray(_twiddle_matrix(log1, log2, inverse))
+    import time as _time
+    prefixes = ["col", "tw", "a2a", "full"]
+    best = {}
+    for upto in prefixes:
+        fn = _jit_sharded_ntt(mesh, log1, log2, inverse, upto)
+        jax.block_until_ready(fn(x, tw))  # compile
+        t = None
+        for _ in range(repeats):
+            t0 = _time.time()
+            jax.block_until_ready(fn(x, tw))
+            dt = _time.time() - t0
+            t = dt if t is None else min(t, dt)
+        best[upto] = t
+    return {
+        "col_ntt_s": round(best["col"], 4),
+        "twiddle_s": round(max(best["tw"] - best["col"], 0.0), 4),
+        "all_to_all_s": round(max(best["a2a"] - best["tw"], 0.0), 4),
+        "row_ntt_s": round(max(best["full"] - best["a2a"], 0.0), 4),
+        "total_s": round(best["full"], 4),
+    }
 
 
 # ---------------------------------------------------------------------------
