@@ -50,6 +50,28 @@ def test_g2_generator_encoding_matches_zcash_vector():
     assert G2.generator().to_compressed_bytes().hex() == exp
 
 
+def test_infinity_encoding_matches_zcash_spec():
+    # ZCash BLS12-381 spec: point at infinity encodes as c_flag=1,
+    # b_flag=1, a_flag=0 and all-zero payload (curve.ml:195-211 relies
+    # on the same blst encodings).
+    assert G1.zero().to_compressed_bytes().hex() == "c0" + "00" * 47
+    assert G2.zero().to_compressed_bytes().hex() == "c0" + "00" * 95
+    assert G1.of_compressed_bytes(bytes([0xC0] + [0] * 47)).is_zero()
+    assert G2.of_compressed_bytes(bytes([0xC0] + [0] * 95)).is_zero()
+
+
+def test_negated_generator_encoding_matches_zcash_spec():
+    # Same x, a_flag (0x20) flipped: the spec sets a_flag iff y is the
+    # lexicographically larger root; the generators encode with it clear,
+    # so their negations are the identical byte strings with byte0 |= 0x20.
+    g1 = G1.generator().to_compressed_bytes()
+    n1 = (-G1.generator()).to_compressed_bytes()
+    assert n1.hex() == ("b7" + g1.hex()[2:])
+    g2 = G2.generator().to_compressed_bytes()
+    n2 = (-G2.generator()).to_compressed_bytes()
+    assert n2.hex() == ("b3" + g2.hex()[2:])
+
+
 def test_pairing_bilinearity():
     g, h = G1.generator(), G2.generator()
     e = pairing(g, h)
