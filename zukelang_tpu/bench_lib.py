@@ -197,13 +197,26 @@ def bench_groth16(log_constraints: int, seed: int = 1, repeats: int = 3,
     fc = inst.fc
     prog["build_r1cs_s"] = round(time.time() - t_all, 3)
 
+    # Resume driver (failure recovery): with ZUKELANG_CRS_CHECKPOINT set,
+    # a restarted run reloads the checkpointed keypair and skips keygen —
+    # the most expensive stage; a first run keygens then checkpoints.
+    import os
+    ckpt = os.environ.get("ZUKELANG_CRS_CHECKPOINT")
+    if ckpt and not ckpt.endswith(".npz"):
+        ckpt += ".npz"
     t0 = time.time()
-    crs, vkey = gd.keygen_device(
-        fc, mids=list(inst.mids_cols), ios=list(inst.ios_cols),
-        rng=Gen(b"bench-keygen"))
-    # NB: block_until_ready does not actually block through the axon TPU
-    # tunnel; a device_get of a slice is the reliable barrier.
-    jax.device_get(crs.ti1[0][..., :1])
+    if ckpt and os.path.exists(ckpt):
+        crs, vkey = gd.load_keypair(ckpt)
+        prog["resumed_from_checkpoint"] = True
+    else:
+        crs, vkey = gd.keygen_device(
+            fc, mids=list(inst.mids_cols), ios=list(inst.ios_cols),
+            rng=Gen(b"bench-keygen"))
+        # NB: block_until_ready does not actually block through the axon
+        # TPU tunnel; a device_get of a slice is the reliable barrier.
+        jax.device_get(crs.ti1[0][..., :1])
+        if ckpt:
+            gd.save_keypair(ckpt, crs, vkey)
     t_keygen = time.time() - t0
     prog["keygen_s"] = round(t_keygen, 3)
 

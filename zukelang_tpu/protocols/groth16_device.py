@@ -338,8 +338,7 @@ def verify(public: Dict, vkey: DeviceVKey, proof) -> bool:
 # case, this covers multi-GB proving keys)
 # ---------------------------------------------------------------------------
 
-def save_crs(path: str, crs: DeviceCRS) -> None:
-    """Write the proving key as a compressed .npz of limb arrays."""
+def _crs_arrays(crs: DeviceCRS) -> dict:
     arrays = {}
     for name in ("ti1", "ti2", "ltd_mid", "tiztd"):
         pt = getattr(crs, name)
@@ -347,14 +346,65 @@ def save_crs(path: str, crs: DeviceCRS) -> None:
             arrays[f"{name}_{coord}"] = np.asarray(pt[i])
     arrays["mids_idx"] = crs.mids_idx
     arrays["n"] = np.array([crs.n])
-    for name in ("alpha_g1", "beta_g1", "delta_g1"):
+    for name in ("alpha_g1", "beta_g1", "delta_g1",
+                 "beta_g2", "delta_g2"):
         arrays[name] = np.frombuffer(
             getattr(crs, name).to_compressed_bytes(), dtype=np.uint8)
-    from ..golden.curve import G2 as _G2
-    for name in ("beta_g2", "delta_g2"):
-        arrays[name] = np.frombuffer(
-            getattr(crs, name).to_compressed_bytes(), dtype=np.uint8)
+    return arrays
+
+
+def save_crs(path: str, crs: DeviceCRS) -> None:
+    """Write the proving key as a compressed .npz of limb arrays."""
+    np.savez_compressed(path, **_crs_arrays(crs))
+
+
+def save_keypair(path: str, crs: DeviceCRS, vkey: "DeviceVKey") -> None:
+    """CRS checkpoint + the verification key in one .npz, enabling a
+    keygen-resume driver: a killed/restarted prover run reloads both and
+    skips the most expensive stage (the reference has no counterpart —
+    SURVEY.md section 5 failure-recovery row)."""
+    import json as _json
+    from .. import serialize as ser
+    vk = {
+        "one1": ser.g1_to_json(vkey.one1),
+        "one2": ser.g2_to_json(vkey.one2),
+        "gm": ser.g2_to_json(vkey.gm),
+        "d": ser.g2_to_json(vkey.d),
+        "ab": ser.gt_to_json(vkey.ab),
+        "ltgm_io": {str(k): ser.g1_to_json(v)
+                    for k, v in vkey.ltgm_io.items()},
+    }
+    if vkey.alpha_g1 is not None:
+        vk["alpha_g1"] = ser.g1_to_json(vkey.alpha_g1)
+    if vkey.beta_g2 is not None:
+        vk["beta_g2"] = ser.g2_to_json(vkey.beta_g2)
+    arrays = _crs_arrays(crs)
+    arrays["vkey_json"] = np.frombuffer(_json.dumps(vk).encode(),
+                                        dtype=np.uint8)
     np.savez_compressed(path, **arrays)
+
+
+def load_keypair(path: str):
+    """Inverse of save_keypair: (DeviceCRS, DeviceVKey)."""
+    import json as _json
+    from .. import serialize as ser
+    crs = load_crs(path)
+    z = np.load(path if path.endswith(".npz") else path + ".npz")
+    vk = _json.loads(bytes(z["vkey_json"].tobytes()).decode())
+    vkey = DeviceVKey(
+        one1=ser.g1_of_json(vk["one1"]),
+        ltgm_io={int(k): ser.g1_of_json(v)
+                 for k, v in vk["ltgm_io"].items()},
+        one2=ser.g2_of_json(vk["one2"]),
+        gm=ser.g2_of_json(vk["gm"]),
+        d=ser.g2_of_json(vk["d"]),
+        ab=ser.gt_of_json(vk["ab"]),
+        alpha_g1=(ser.g1_of_json(vk["alpha_g1"])
+                  if "alpha_g1" in vk else None),
+        beta_g2=(ser.g2_of_json(vk["beta_g2"])
+                 if "beta_g2" in vk else None),
+    )
+    return crs, vkey
 
 
 def load_crs(path: str) -> DeviceCRS:
