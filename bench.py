@@ -20,13 +20,14 @@ Record shape per completed rung and for the final headline:
   {"metric": "groth16_prove_2^16", "value": N, "unit": "s",
    "vs_baseline": N, "detail": {...}}
 
-Rungs (default): groth16 2^16 -> groth16 2^12 (both on the canonical
-2^16 compiled family).  The pinocchio 2^14 and groth16 2^20 rungs are
-NOT in the default plan this round: their program families could not be
-compile-warmed inside the round window (each is a fresh multi-minute
-Mosaic compile family), and the end-of-round protocol drops rungs that
-did not complete a validation run.  Re-enable explicitly with
-BENCH_RUNGS="g16:16,g16:12,pin:14,g16:20" given a long enough budget.
+Rungs (default): groth16 2^16 only.  A warm rung still pays ~3 min of
+keygen re-trace + ~13 min of prove-program re-trace/lowering in a fresh
+process (host Python; only the XLA/Mosaic compile is disk-cached), so
+one rung is what provably fits the driver window.  The pinocchio 2^14
+and groth16 2^20 rungs could not be compile-warmed inside this round's
+window, and groth16 2^12 runs the identical canonical-2^16 program
+family (it adds no new measurement).  Re-enable any of them explicitly:
+BENCH_RUNGS="g16:16,g16:12,pin:14,g16:20" with a matching budget.
 
 The reference (camlspotter/zukelang) publishes no absolute numbers
 (BASELINE.md); its prover is a naive per-term scalar-mult fold
@@ -38,7 +39,7 @@ reference's favor (see zukelang_tpu.bench_rung._ref_cost_s).
 Env knobs:
   BENCH_LOG_CONSTRAINTS  headline Groth16 rung (default 16)
   BENCH_BUDGET_S         total wall budget in seconds (default 1500)
-  BENCH_RUNG_TIMEOUT_S   per-rung wall timeout (default 900)
+  BENCH_RUNG_TIMEOUT_S   per-rung wall timeout (default 1200)
   BENCH_SMOKE=1          CI mode: one in-process rung at LOG_N,
                          window 4, 1 repeat
   BENCH_RUNGS            override plan, e.g. "g16:12,g16:16,pin:14"
@@ -54,7 +55,7 @@ import time
 
 LOG_N = int(os.environ.get("BENCH_LOG_CONSTRAINTS", "16"))
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
-RUNG_TIMEOUT_S = float(os.environ.get("BENCH_RUNG_TIMEOUT_S", "900"))
+RUNG_TIMEOUT_S = float(os.environ.get("BENCH_RUNG_TIMEOUT_S", "1200"))
 SMOKE = os.environ.get("BENCH_SMOKE", "") == "1"
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -91,10 +92,7 @@ def _plan():
     # Only rungs whose compiled family was warmed AND which completed the
     # end-of-round validation run are in the default plan (see module
     # docstring); pinocchio:14 / g16:20 run via BENCH_RUNGS.
-    plan = [("groth16", LOG_N)]
-    if LOG_N != 12:
-        plan.append(("groth16", 12))
-    return plan
+    return [("groth16", LOG_N)]
 
 
 def _run_rung_subprocess(proto, log_n, repeats, timeout_s):
