@@ -39,7 +39,7 @@ reference's favor (see zukelang_tpu.bench_rung._ref_cost_s).
 Env knobs:
   BENCH_LOG_CONSTRAINTS  headline Groth16 rung (default 16)
   BENCH_BUDGET_S         total wall budget in seconds (default 1500)
-  BENCH_RUNG_TIMEOUT_S   per-rung wall timeout (default 1200)
+  BENCH_RUNG_TIMEOUT_S   per-rung wall timeout (default 1440)
   BENCH_SMOKE=1          CI mode: one in-process rung at LOG_N,
                          window 4, 1 repeat
   BENCH_RUNGS            override plan, e.g. "g16:12,g16:16,pin:14"
@@ -55,7 +55,7 @@ import time
 
 LOG_N = int(os.environ.get("BENCH_LOG_CONSTRAINTS", "16"))
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
-RUNG_TIMEOUT_S = float(os.environ.get("BENCH_RUNG_TIMEOUT_S", "1200"))
+RUNG_TIMEOUT_S = float(os.environ.get("BENCH_RUNG_TIMEOUT_S", "1440"))
 SMOKE = os.environ.get("BENCH_SMOKE", "") == "1"
 
 REPO = os.path.dirname(os.path.abspath(__file__))
