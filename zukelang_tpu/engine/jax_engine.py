@@ -123,11 +123,7 @@ class JaxEngine(Engine):
             return GoldenEngine().qap_witness_reduction(qap, sol)
         fc = self._flat(qap)
         w = jnp.asarray(fc.pack_witness(sol))
-        args = _flat_device_args(fc)
-        a, b, h = _jit_witness_reduction(fc.logn, fc.l.idx.shape[1],
-                                         fc.r.idx.shape[1],
-                                         fc.lhs.idx.shape[1],
-                                         fc.n_gates)(*args, w)
+        a, b, h = run_witness_reduction(fc, w)
         return (_unpack_fr(a), _unpack_fr(b), _unpack_fr(h))
 
     def qap_eval_at(self, qap: QAP, x: Fr):
@@ -212,6 +208,20 @@ def witness_reduction_fn(logn: int):
 @functools.lru_cache(maxsize=32)
 def _jit_witness_reduction(logn: int, kl: int, kr: int, ko: int, n_gates: int):
     return jax.jit(witness_reduction_fn(logn))
+
+
+def run_witness_reduction(fc, witness_mont):
+    """Witness reduction through the AOT export cache (zukelang_tpu.aot):
+    device provers call this instead of _jit_witness_reduction directly
+    so a fresh process skips the re-trace when ZUKELANG_AOT=1."""
+    from .. import aot
+    args = _flat_device_args(fc)
+    kl, kr, ko = (fc.l.idx.shape[1], fc.r.idx.shape[1],
+                  fc.lhs.idx.shape[1])
+    return aot.maybe_call(
+        f"witred-{fc.logn}-{kl}-{kr}-{ko}-{fc.n_gates}",
+        _jit_witness_reduction(fc.logn, kl, kr, ko, fc.n_gates),
+        *args, witness_mont)
 
 
 @functools.lru_cache(maxsize=32)

@@ -1041,7 +1041,10 @@ def msm_many_staged_deferred(tables, scalars_mont_list, pmap,
 
         return resolve_cpu
     S = jnp.stack(list(scalars_mont_list), axis=0)
-    X, Y, Z, col = _jit_msm_many(group, c, tuple(pmap))(tuple(tables), S)
+    from .. import aot
+    X, Y, Z, col = aot.maybe_call(
+        f"msm_many-{group}-c{c}-p{'_'.join(map(str, pmap))}",
+        _jit_msm_many(group, c, tuple(pmap)), tuple(tables), S)
 
     def resolve():
         if bool(col):
@@ -1113,8 +1116,10 @@ def msm_staged_deferred(points, scalars_std: jnp.ndarray,
     msm_many_staged_deferred)."""
     if c is None:
         c = auto_window(points[0].shape[-1])
-    X, Y, Z, col = _jit_msm_fused(group, c, len(points) == 2)(
-        points, scalars_std)
+    from .. import aot
+    X, Y, Z, col = aot.maybe_call(
+        f"msm_fused-{group}-c{c}-aff{int(len(points) == 2)}",
+        _jit_msm_fused(group, c, len(points) == 2), points, scalars_std)
 
     def resolve():
         if bool(col):

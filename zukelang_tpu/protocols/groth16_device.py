@@ -251,16 +251,22 @@ def _jit_fixed_base_mont(n: int, group: str, c: int):
 
 
 def _fixed_base_std(scalars: List[int], group: str) -> C.Point:
+    from .. import aot
     n = _np2(len(scalars))
     S = F.pack(scalars + [0] * (n - len(scalars)), F.FR)
     tbl = msm_mod.fixed_base_table_device(group, DEFAULT_FB_WINDOW)
-    return _jit_fixed_base_std(n, group, DEFAULT_FB_WINDOW)(S, tbl)
+    return aot.maybe_call(
+        f"fb_std-{group}-c{DEFAULT_FB_WINDOW}",
+        _jit_fixed_base_std(n, group, DEFAULT_FB_WINDOW), S, tbl)
 
 
 def _fixed_base_mont(scalars_mont: jnp.ndarray, group: str) -> C.Point:
+    from .. import aot
     n = _np2(scalars_mont.shape[1])
     tbl = msm_mod.fixed_base_table_device(group, DEFAULT_FB_WINDOW)
-    return _jit_fixed_base_mont(n, group, DEFAULT_FB_WINDOW)(
+    return aot.maybe_call(
+        f"fb_mont-{group}-c{DEFAULT_FB_WINDOW}",
+        _jit_fixed_base_mont(n, group, DEFAULT_FB_WINDOW),
         _pad_scalars(scalars_mont, n), tbl)
 
 
@@ -281,10 +287,7 @@ def prove_device(crs: DeviceCRS, fc: flat_mod.FlatCircuit,
     r_sc = rng.fr()
     s_sc = rng.fr()
 
-    args = je._flat_device_args(fc)
-    a_comb, b_comb, h = je._jit_witness_reduction(
-        fc.logn, fc.l.idx.shape[1], fc.r.idx.shape[1], fc.lhs.idx.shape[1],
-        fc.n_gates)(*args, witness_mont)
+    a_comb, b_comb, h = je.run_witness_reduction(fc, witness_mont)
 
     n = crs.n
     npad = _np2(n)

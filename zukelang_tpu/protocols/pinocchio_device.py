@@ -209,10 +209,7 @@ def prove_device(pkey: DevicePKey, fc: flat_mod.FlatCircuit,
 
     witness_mont: (nl, V+1) Montgomery witness (flat.pack_witness layout).
     """
-    args = je._flat_device_args(fc)
-    _a, _b, h = je._jit_witness_reduction(
-        fc.logn, fc.l.idx.shape[1], fc.r.idx.shape[1], fc.lhs.idx.shape[1],
-        fc.n_gates)(*args, witness_mont)
+    _a, _b, h = je.run_witness_reduction(fc, witness_mont)
 
     n = pkey.n
     c_mid = witness_mont[:, pkey.mids_idx]
